@@ -1,0 +1,292 @@
+"""BERT encoder, written TPU-first in pure JAX.
+
+Design (deliberately NOT a port of HF's module tree):
+  * parameters live in a flat pytree with the 12 encoder layers *stacked* on a
+    leading axis; the encoder runs as one `lax.scan` over that axis — one
+    compiled layer body instead of 12 unrolled ones (faster compiles, enables
+    per-layer `jax.checkpoint` rematerialisation for the backward pass);
+  * matmuls run in a configurable compute dtype (bfloat16 on TPU for the MXU)
+    with float32 accumulation; LayerNorm statistics stay float32;
+  * static shapes everywhere — the attention mask handles padding.
+
+Numerical semantics match `transformers.BertModel` (post-LN, erf-GeLU,
+eps=1e-12, additive -10000 padding mask) so that HF `bert-base-cased`
+checkpoints load via `params_from_hf_state_dict` and per-layer activations
+agree with the PyTorch reference in fp32 (verified in tests/test_bert.py).
+The BLP usage (reference: models.py:96-111) takes the [CLS] hidden state and
+applies a bias-free linear projection; that projection lives in
+blp_tpu/models/blp.py, not here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 28996  # bert-base-cased
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    initializer_range: float = 0.02
+    compute_dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @staticmethod
+    def tiny(**kw) -> "BertConfig":
+        """Small config for tests and dry-runs."""
+        base = dict(vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+                    intermediate_size=64, max_position_embeddings=64)
+        base.update(kw)
+        return BertConfig(**base)
+
+
+def init_bert_params(key: Array, cfg: BertConfig) -> dict:
+    """Initialize parameters with truncated-normal(initializer_range), matching
+    BERT's init scheme. Layer params are stacked on a leading (num_layers,)
+    axis."""
+    keys = iter(jax.random.split(key, 32))
+    std = cfg.initializer_range
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+
+    def tn(k, shape):
+        return std * jax.random.truncated_normal(k, -2.0, 2.0, shape, jnp.float32)
+
+    def layer_w(k, in_dim, out_dim):
+        return tn(k, (L, in_dim, out_dim))
+
+    return {
+        "embeddings": {
+            "word": tn(next(keys), (cfg.vocab_size, H)),
+            "position": tn(next(keys), (cfg.max_position_embeddings, H)),
+            "token_type": tn(next(keys), (cfg.type_vocab_size, H)),
+            "ln_scale": jnp.ones((H,)),
+            "ln_bias": jnp.zeros((H,)),
+        },
+        "layers": {
+            "q_w": layer_w(next(keys), H, H), "q_b": jnp.zeros((L, H)),
+            "k_w": layer_w(next(keys), H, H), "k_b": jnp.zeros((L, H)),
+            "v_w": layer_w(next(keys), H, H), "v_b": jnp.zeros((L, H)),
+            "attn_out_w": layer_w(next(keys), H, H), "attn_out_b": jnp.zeros((L, H)),
+            "attn_ln_scale": jnp.ones((L, H)), "attn_ln_bias": jnp.zeros((L, H)),
+            "ffn_in_w": layer_w(next(keys), H, I), "ffn_in_b": jnp.zeros((L, I)),
+            "ffn_out_w": layer_w(next(keys), I, H), "ffn_out_b": jnp.zeros((L, H)),
+            "ffn_ln_scale": jnp.ones((L, H)), "ffn_ln_bias": jnp.zeros((L, H)),
+        },
+        "pooler": {"w": tn(next(keys), (H, H)), "b": jnp.zeros((H,))},
+    }
+
+
+def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return out
+
+
+def _dense(x: Array, w: Array, b: Array, dtype) -> Array:
+    out = jnp.dot(x.astype(dtype), w.astype(dtype),
+                  preferred_element_type=jnp.float32)
+    return out + b
+
+
+def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
+                   dropout_rngs, dropout_rate: float) -> Array:
+    """One post-LN transformer layer. x: (B, S, H) float32;
+    mask_bias: (B, 1, 1, S) additive attention bias."""
+    B, S, H = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    dt = cfg.compute_dtype
+
+    q = _dense(x, lp["q_w"], lp["q_b"], dt).reshape(B, S, nh, hd)
+    k = _dense(x, lp["k_w"], lp["k_b"], dt).reshape(B, S, nh, hd)
+    v = _dense(x, lp["v_w"], lp["v_b"], dt).reshape(B, S, nh, hd)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt), k.astype(dt),
+                        preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(hd) + mask_bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rngs is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rngs[0], 1.0 - cfg.attention_dropout,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - cfg.attention_dropout), 0.0)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v.astype(dt),
+                     preferred_element_type=jnp.float32)
+    ctx = ctx.reshape(B, S, H)
+
+    attn_out = _dense(ctx, lp["attn_out_w"], lp["attn_out_b"], dt)
+    if dropout_rngs is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rngs[1], 1.0 - dropout_rate,
+                                    attn_out.shape)
+        attn_out = jnp.where(keep, attn_out / (1.0 - dropout_rate), 0.0)
+    x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
+                    cfg.layer_norm_eps)
+
+    ffn = _dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt)
+    ffn = jax.nn.gelu(ffn, approximate=False)
+    ffn = _dense(ffn, lp["ffn_out_w"], lp["ffn_out_b"], dt)
+    if dropout_rngs is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rngs[2], 1.0 - dropout_rate, ffn.shape)
+        ffn = jnp.where(keep, ffn / (1.0 - dropout_rate), 0.0)
+    x = _layer_norm(x + ffn, lp["ffn_ln_scale"], lp["ffn_ln_bias"],
+                    cfg.layer_norm_eps)
+    return x
+
+
+def bert_encode(
+    params: dict,
+    input_ids: Array,
+    attention_mask: Array | None,
+    cfg: BertConfig,
+    *,
+    deterministic: bool = True,
+    dropout_rng: Array | None = None,
+) -> Array:
+    """Run the BERT encoder. Returns last hidden states (B, S, H) float32.
+
+    attention_mask: (B, S) with 1 for real tokens, 0 for padding (None = all
+    ones). Matches HF semantics: additive -10000 bias on padded keys.
+    """
+    B, S = input_ids.shape
+    emb = params["embeddings"]
+
+    x = emb["word"][input_ids]
+    x = x + emb["position"][:S][None, :, :]
+    x = x + emb["token_type"][0][None, None, :]  # BLP always uses segment 0
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+
+    if attention_mask is None:
+        mask_bias = jnp.zeros((B, 1, 1, S), jnp.float32)
+    else:
+        mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -10000.0
+
+    dropout_rate = 0.0 if deterministic else cfg.hidden_dropout
+    if not deterministic:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when deterministic=False")
+        keep = jax.random.bernoulli(jax.random.fold_in(dropout_rng, 0),
+                                    1.0 - dropout_rate, x.shape)
+        x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+        layer_rngs = jax.random.split(jax.random.fold_in(dropout_rng, 1),
+                                      cfg.num_layers * 3).reshape(cfg.num_layers, 3)
+    else:
+        layer_rngs = None
+
+    def body(carry, scanned):
+        if layer_rngs is None:
+            lp = scanned
+            rngs = None
+        else:
+            lp, rngs = scanned
+        out = _encoder_layer(cfg, carry, mask_bias, lp, rngs, dropout_rate)
+        return out, None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+
+    scanned = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)
+    x, _ = jax.lax.scan(body, x, scanned)
+    return x
+
+
+def bert_pooler(params: dict, hidden: Array, cfg: BertConfig) -> Array:
+    """HF pooler: tanh(dense([CLS])). Unused by BLP but kept for checkpoint
+    round-trips and downstream users."""
+    cls = hidden[:, 0]
+    return jnp.tanh(_dense(cls, params["pooler"]["w"], params["pooler"]["b"],
+                           cfg.compute_dtype))
+
+
+# --------------------------------------------------------------------------
+# HF checkpoint conversion
+# --------------------------------------------------------------------------
+
+def params_from_hf_state_dict(state_dict: dict, cfg: BertConfig) -> dict:
+    """Convert a `transformers.BertModel.state_dict()` (torch tensors or numpy
+    arrays, names as of HF>=4.x with or without the `bert.` prefix) into this
+    module's stacked-layer pytree."""
+
+    def get(name: str) -> np.ndarray:
+        for prefix in ("", "bert."):
+            key = prefix + name
+            if key in state_dict:
+                t = state_dict[key]
+                return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                                  dtype=np.float32)
+        raise KeyError(f"Missing parameter {name!r} in state dict")
+
+    def stack(fmt: str, transpose: bool = False) -> jnp.ndarray:
+        mats = [get(fmt.format(i)) for i in range(cfg.num_layers)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return jnp.asarray(np.stack(mats))
+
+    p = "encoder.layer.{}."
+    return {
+        "embeddings": {
+            "word": jnp.asarray(get("embeddings.word_embeddings.weight")),
+            "position": jnp.asarray(get("embeddings.position_embeddings.weight")),
+            "token_type": jnp.asarray(get("embeddings.token_type_embeddings.weight")),
+            "ln_scale": jnp.asarray(get("embeddings.LayerNorm.weight")),
+            "ln_bias": jnp.asarray(get("embeddings.LayerNorm.bias")),
+        },
+        "layers": {
+            "q_w": stack(p + "attention.self.query.weight", transpose=True),
+            "q_b": stack(p + "attention.self.query.bias"),
+            "k_w": stack(p + "attention.self.key.weight", transpose=True),
+            "k_b": stack(p + "attention.self.key.bias"),
+            "v_w": stack(p + "attention.self.value.weight", transpose=True),
+            "v_b": stack(p + "attention.self.value.bias"),
+            "attn_out_w": stack(p + "attention.output.dense.weight", transpose=True),
+            "attn_out_b": stack(p + "attention.output.dense.bias"),
+            "attn_ln_scale": stack(p + "attention.output.LayerNorm.weight"),
+            "attn_ln_bias": stack(p + "attention.output.LayerNorm.bias"),
+            "ffn_in_w": stack(p + "intermediate.dense.weight", transpose=True),
+            "ffn_in_b": stack(p + "intermediate.dense.bias"),
+            "ffn_out_w": stack(p + "output.dense.weight", transpose=True),
+            "ffn_out_b": stack(p + "output.dense.bias"),
+            "ffn_ln_scale": stack(p + "output.LayerNorm.weight"),
+            "ffn_ln_bias": stack(p + "output.LayerNorm.bias"),
+        },
+        "pooler": {
+            "w": jnp.asarray(get("pooler.dense.weight").T),
+            "b": jnp.asarray(get("pooler.dense.bias")),
+        },
+    }
+
+
+def config_from_hf(hf_config) -> BertConfig:
+    """Build a BertConfig from a transformers BertConfig object."""
+    return BertConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        type_vocab_size=hf_config.type_vocab_size,
+        layer_norm_eps=hf_config.layer_norm_eps,
+        hidden_dropout=hf_config.hidden_dropout_prob,
+        attention_dropout=hf_config.attention_probs_dropout_prob,
+        initializer_range=hf_config.initializer_range,
+    )
