@@ -1,0 +1,128 @@
+"""Synthetic dataset generator (reference file format).
+
+Produces a small knowledge graph with entity descriptions, a WordPiece-style
+vocab, and inductive splits — used by tests and bench.py since this
+environment ships no real datasets. Deterministic given the seed.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import numpy as np
+
+_WORDS = [
+    "protein", "enzyme", "cell", "organ", "tissue", "disease", "virus",
+    "treats", "binds", "acts", "signal", "receptor", "acid", "process",
+    "system", "function", "structure", "group", "human", "animal", "plant",
+    "causes", "finding", "result", "measure", "clinical", "body", "blood",
+    "brain", "heart", "gene", "molecule", "substance", "drug", "therapy",
+]
+
+
+def write_synth_dataset(
+    directory: str,
+    *,
+    num_entities: int = 60,
+    num_relations: int = 5,
+    num_triples: int = 400,
+    desc_words: tuple[int, int] = (4, 12),
+    inductive_frac: float = 0.2,
+    seed: int = 0,
+) -> str:
+    """Write a synthetic dataset under `directory` and return it.
+
+    Emits: entities.txt, relations.txt, train/dev/test.tsv (transductive
+    split of edges), ind-train/dev/test.tsv + {split}-ents.txt (inductive
+    entity split), entity2text.txt, vocab.txt, relations-cat.txt, and
+    {split}-ents-class.txt (node-classification labels).
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(directory, exist_ok=True)
+
+    ents = [f"ent_{i:04d}" for i in range(num_entities)]
+    rels = [f"rel_{i}" for i in range(num_relations)]
+    with open(osp.join(directory, "entities.txt"), "w") as f:
+        f.write("\n".join(ents) + "\n")
+    with open(osp.join(directory, "relations.txt"), "w") as f:
+        f.write("\n".join(rels) + "\n")
+
+    # Random connected-ish multigraph: ring backbone + random edges.
+    edges = set()
+    for i in range(num_entities):
+        edges.add((i, (i + 1) % num_entities, int(rng.integers(num_relations))))
+    while len(edges) < num_triples:
+        h, t = rng.integers(num_entities, size=2)
+        if h == t:
+            continue
+        edges.add((int(h), int(t), int(rng.integers(num_relations))))
+    edges = sorted(edges)
+    rng.shuffle(edges)
+
+    # Descriptions + vocab.
+    with open(osp.join(directory, "entity2text.txt"), "w") as f:
+        for i, e in enumerate(ents):
+            n = int(rng.integers(desc_words[0], desc_words[1] + 1))
+            words = [_WORDS[int(w)] for w in rng.integers(len(_WORDS), size=n)]
+            f.write(f"{e}\t{' '.join(words)}.\n")
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "."] + _WORDS
+    # A few wordpieces to exercise the continuation path.
+    vocab += ["##s", "##ing", "pro", "##tein"]
+    with open(osp.join(directory, "vocab.txt"), "w") as f:
+        f.write("\n".join(vocab) + "\n")
+
+    # Transductive split of edges 80/10/10.
+    n = len(edges)
+    cut1, cut2 = int(0.8 * n), int(0.9 * n)
+    for name, sl in (("train", slice(0, cut1)), ("dev", slice(cut1, cut2)),
+                     ("test", slice(cut2, n))):
+        with open(osp.join(directory, f"{name}.tsv"), "w") as f:
+            for h, t, r in edges[sl]:
+                f.write(f"{ents[h]}\t{rels[r]}\t{ents[t]}\n")
+
+    # Inductive split: hold out entities; their incident edges form dev/test.
+    num_drop = max(2, int(num_entities * inductive_frac))
+    dropped = list(rng.choice(num_entities, size=num_drop, replace=False))
+    test_ents = set(int(x) for x in dropped[: num_drop // 2])
+    dev_ents = set(int(x) for x in dropped[num_drop // 2:])
+    held = test_ents | dev_ents
+
+    def bucket(edge):
+        h, t, _ = edge
+        if h in test_ents or t in test_ents:
+            return "test"
+        if h in dev_ents or t in dev_ents:
+            return "dev"
+        return "train"
+
+    buckets = {"train": [], "dev": [], "test": []}
+    for e in edges:
+        buckets[bucket(e)].append(e)
+    # Keep the train graph free of orphaned rows: every entity in ind-train
+    # must appear there; entities only seen in held-out edges are fine.
+    for name in ("train", "dev", "test"):
+        with open(osp.join(directory, f"ind-{name}.tsv"), "w") as f:
+            for h, t, r in buckets[name]:
+                f.write(f"{ents[h]}\t{rels[r]}\t{ents[t]}\n")
+    train_ents = sorted({x for h, t, _ in buckets["train"] for x in (h, t)})
+    for name, eset in (("train", train_ents), ("dev", sorted(dev_ents)),
+                       ("test", sorted(test_ents))):
+        with open(osp.join(directory, f"{name}-ents.txt"), "w") as f:
+            f.write("\n".join(ents[i] for i in eset) + "\n")
+
+    # Relation categories: deterministic assignment.
+    cats = ["1-to-1", "1-to-many", "many-to-1", "many-to-many"]
+    with open(osp.join(directory, "relations-cat.txt"), "w") as f:
+        for i, r in enumerate(rels):
+            f.write(f"{r}\t{cats[i % 4]}\n")
+
+    # Node-classification labels (3 classes by entity id band).
+    for name, eset in (("train", train_ents), ("dev", sorted(dev_ents)),
+                       ("test", sorted(test_ents))):
+        with open(osp.join(directory, f"{name}-ents-class.txt"), "w") as f:
+            for i in eset:
+                f.write(f"{ents[i]}\tclass_{i % 3}\n")
+
+    return directory
