@@ -1,0 +1,87 @@
+"""Filtered-setting candidate filters, precomputed into padded index arrays.
+
+The reference walks a networkx MultiDiGraph per evaluation batch and builds
+dense (B, N) boolean masks (reference: utils.py:46-83) — O(B*N) memory and a
+CPU bottleneck at Wikidata5M scale. Here the known-true answers are indexed
+once into hash maps keyed by (entity, relation) and each eval triple gets a
+*sparse* list of filtered candidate positions, padded to a bucketed width.
+The evaluator subtracts those few candidates from the tie-aware rank counts
+instead of masking a dense score matrix — same metric, O(B*F) memory.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+
+class FilterIndex:
+    """(head, rel) -> tails and (tail, rel) -> heads over the filter graph
+    (all known-true triples)."""
+
+    def __init__(self, triples: np.ndarray):
+        """triples: (T, 3) [head, tail, rel]."""
+        tails_of = defaultdict(list)
+        heads_of = defaultdict(list)
+        for h, t, r in np.asarray(triples, dtype=np.int64):
+            tails_of[(int(h), int(r))].append(int(t))
+            heads_of[(int(t), int(r))].append(int(h))
+        self._tails_of = {k: np.unique(v) for k, v in tails_of.items()}
+        self._heads_of = {k: np.unique(v) for k, v in heads_of.items()}
+        self._empty = np.zeros(0, np.int64)
+
+    def true_tails(self, head: int, rel: int) -> np.ndarray:
+        return self._tails_of.get((head, rel), self._empty)
+
+    def true_heads(self, tail: int, rel: int) -> np.ndarray:
+        return self._heads_of.get((tail, rel), self._empty)
+
+
+def _bucket(width: int, minimum: int = 8) -> int:
+    """Round up to a power of two so jit sees few distinct shapes."""
+    b = minimum
+    while b < width:
+        b *= 2
+    return b
+
+
+def build_filters(
+    triples: np.ndarray,
+    filter_index: FilterIndex,
+    ent2idx: np.ndarray,
+    pad_width: int | None = None,
+):
+    """Padded filtered-candidate positions for a batch of eval triples.
+
+    For triple (h, t, r): head-prediction filters are other true heads h' of
+    (?, r, t); tail-prediction filters other true tails t' of (h, r, ?) —
+    excluding the triple's own entity, mapped to candidate-table positions,
+    dropping entities outside the candidate set (reference: utils.py:63-83).
+
+    Returns:
+      heads_filter, tails_filter: (B, F) int32 position arrays, -1 padded.
+    """
+    rows_h: list[np.ndarray] = []
+    rows_t: list[np.ndarray] = []
+    for h, t, r in np.asarray(triples, dtype=np.int64):
+        true_h = filter_index.true_heads(int(t), int(r))
+        true_h = true_h[true_h != h]
+        pos = ent2idx[true_h]
+        rows_h.append(pos[pos >= 0])
+
+        true_t = filter_index.true_tails(int(h), int(r))
+        true_t = true_t[true_t != t]
+        pos = ent2idx[true_t]
+        rows_t.append(pos[pos >= 0])
+
+    width = max([1] + [len(x) for x in rows_h + rows_t])
+    width = pad_width if pad_width is not None else _bucket(width)
+
+    def pack(rows):
+        out = np.full((len(rows), width), -1, np.int32)
+        for i, row in enumerate(rows):
+            out[i, : len(row)] = row[:width]
+        return out
+
+    return pack(rows_h), pack(rows_t)

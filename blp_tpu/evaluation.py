@@ -1,0 +1,270 @@
+"""Two-phase full-ranking link-prediction evaluation.
+
+Phase 1 encodes every candidate entity into an (N, d) table in fixed-size
+chunks (one jit compile); phase 2 streams each eval batch against the table
+with tiled tie-aware rank counts (blp_tpu/ops/ranking.py) and sparse filtered
+corrections. Mirrors the reference evaluator's semantics exactly
+(reference: train.py:57-243) — raw + filtered MRR/hits@{1,3,10}, the
+head-corruption-first ordering of reciprocals, new-entity and
+relation-category breakdowns — without ever materializing (B, N) scores.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blp_tpu import metrics
+from blp_tpu.data.filtering import FilterIndex, build_filters
+from blp_tpu.models import blp
+from blp_tpu.ops import ranking
+from blp_tpu.utils import make_ent2idx
+
+HIT_POSITIONS = (1, 3, 10)
+
+
+@dataclasses.dataclass
+class EvalResult:
+    mrr: float
+    hits: dict[int, float]
+    mrr_filt: float | None = None
+    hits_filt: dict[int, float] | None = None
+    mrr_by_position: np.ndarray | None = None   # (3,) both/head/tail-new
+    mrr_by_category: np.ndarray | None = None   # (2, 4)
+    ent_emb: np.ndarray | None = None
+    entities: np.ndarray | None = None
+
+    def scalars(self, prefix: str) -> dict[str, float]:
+        out = {f"{prefix}_mrr": self.mrr}
+        for k, v in self.hits.items():
+            out[f"{prefix}_hits@{k}"] = v
+        if self.mrr_filt is not None:
+            out[f"{prefix}_mrr_filt"] = self.mrr_filt
+            for k, v in self.hits_filt.items():
+                out[f"{prefix}_hits@{k}_filt"] = v
+        if self.mrr_by_position is not None:
+            for i, name in enumerate(("both_new", "head_new", "tail_new")):
+                out[f"{prefix}_mrr_filt_{name}"] = float(self.mrr_by_position[i])
+        return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_entity_table(
+    encode_batch: Callable[[np.ndarray, np.ndarray], jax.Array],
+    text_data,
+    entities: np.ndarray,
+    *,
+    emb_batch_size: int,
+    dim: int,
+    pad_to: int = 1,
+    log=None,
+) -> jax.Array:
+    """Encode all candidate entities into an (Np, d) table.
+
+    encode_batch: jitted (tok (E, L), mask (E, L)) -> (E, d). Chunks are
+    padded to emb_batch_size so the encoder compiles once
+    (reference phase 1: train.py:95-123).
+    """
+    n = len(entities)
+    n_pad = _round_up(max(n, 1), pad_to)
+    chunks = []
+    for start in range(0, n, emb_batch_size):
+        ids = entities[start : start + emb_batch_size]
+        tok, mask = text_data.get_entity_descriptions(ids)
+        if len(ids) < emb_batch_size:
+            pad = emb_batch_size - len(ids)
+            tok = np.pad(tok, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+            mask[len(ids):, 0] = 1.0  # avoid 0/0 in mean-pool encoders
+        chunks.append(np.asarray(encode_batch(tok, mask))[: len(ids)])
+        if log and (start // emb_batch_size) % 20 == 0:
+            log.info(f"[encode {start + len(ids):,}/{n:,}]")
+    table = np.concatenate(chunks, axis=0) if chunks else np.zeros((0, dim), np.float32)
+    if n_pad > n:
+        table = np.pad(table, ((0, n_pad - n), (0, 0)))
+    return jnp.asarray(table)
+
+
+@functools.partial(jax.jit, static_argnames=("rel_model", "tile"))
+def _rank_batch(
+    table, head_pos, tail_pos, rel_emb, num_valid,
+    heads_filter, tails_filter, *, rel_model: str, tile: int,
+):
+    """Raw + filtered rank counts for one eval batch, both directions.
+
+    Returns dict of (B,) arrays; 'h_' prefixes head-corruption (predict the
+    head given (?, t, r)), 't_' tail-corruption.
+    """
+    head_emb = table[head_pos]
+    tail_emb = table[tail_pos]
+
+    out = {}
+    for direction, fixed_emb, own_emb, own_pos, filt in (
+        ("h", tail_emb, head_emb, head_pos, heads_filter),
+        ("t", head_emb, tail_emb, tail_pos, tails_filter),
+    ):
+        corrupt = "head" if direction == "h" else "tail"
+        true_scores = ranking.score_pairs(
+            own_emb, fixed_emb, rel_emb, rel_model=rel_model, corrupt=corrupt)[:, None]
+        c = ranking.tiled_rank_counts(
+            table, fixed_emb, rel_emb, true_scores, own_pos, filt, num_valid,
+            rel_model=rel_model, corrupt=corrupt, tile=tile)
+        # Self-tie: the true entity contributes exactly 1 to geq in both the
+        # raw and filtered settings (reference: utils.py:104-105 counts it via
+        # scores >= true at the self position).
+        out[f"{direction}_gt"] = c["gt"]
+        out[f"{direction}_geq"] = c["geq"] + 1
+        out[f"{direction}_fgt"] = c["fgt"]
+        out[f"{direction}_fgeq"] = c["fgeq"]
+    return out
+
+
+def eval_link_prediction(
+    params: dict,
+    cfg: blp.ModelConfig,
+    eval_triples: np.ndarray,
+    text_data,
+    entities: np.ndarray,
+    *,
+    batch_size: int = 64,
+    emb_batch_size: int = 512,
+    tile: int = 4096,
+    filter_index: FilterIndex | None = None,
+    new_entities: np.ndarray | None = None,
+    rel_categories: np.ndarray | None = None,
+    max_num_batches: int | None = None,
+    return_embeddings: bool = False,
+    ent_emb: jax.Array | None = None,
+    log=None,
+) -> EvalResult:
+    """Full-ranking evaluation over a candidate entity set.
+
+    Args:
+      eval_triples: (T, 3) [head, tail, rel].
+      entities: candidate entity ids (the ranking universe).
+      filter_index: known-true triples for filtered metrics (None = raw only).
+      new_entities: entity ids unseen in training, for the position breakdown.
+      rel_categories: (num_rels,) category ids for the category breakdown.
+      ent_emb: optionally a precomputed (padded) candidate table.
+    """
+    compute_filtered = filter_index is not None
+    max_ent_id = int(max(entities.max(), eval_triples[:, :2].max()))
+    ent2idx = make_ent2idx(entities, max_ent_id)
+    n = len(entities)
+    n_pad = _round_up(n, tile)
+
+    if ent_emb is None:
+        if cfg.is_inductive:
+            L = text_data.max_len
+
+            @jax.jit
+            def encode_batch(tok, mask):
+                return blp.encode(params, cfg, tok, mask, deterministic=True)
+
+            ent_emb = build_entity_table(
+                encode_batch, text_data, entities,
+                emb_batch_size=emb_batch_size, dim=cfg.entity_dim,
+                pad_to=tile, log=log)
+        else:
+            table = blp.encode_entity_ids(params, cfg, jnp.asarray(entities))
+            ent_emb = jnp.pad(table, ((0, n_pad - n), (0, 0)))
+    elif ent_emb.shape[0] != n_pad:
+        ent_emb = jnp.pad(ent_emb, ((0, n_pad - int(ent_emb.shape[0])), (0, 0)))
+
+    rel_emb_table = params["rel_emb"]
+    num_valid = jnp.asarray(n, jnp.int32)
+
+    total_gt, total_geq = [], []
+    filt_gt, filt_geq = [], []
+    triples_seen = []
+
+    t_total = len(eval_triples)
+    n_batches = -(-t_total // batch_size)
+    if max_num_batches is not None:
+        n_batches = min(n_batches, max_num_batches)
+
+    filter_pad = 8
+    if compute_filtered:
+        # One bucketed width across all batches -> one jit compile.
+        hf_all, tf_all = build_filters(eval_triples, filter_index, ent2idx)
+        filter_pad = max(hf_all.shape[1], tf_all.shape[1])
+    empty_filters = np.full((batch_size, filter_pad), -1, np.int32)
+
+    for bi in range(n_batches):
+        batch = eval_triples[bi * batch_size : (bi + 1) * batch_size]
+        real = len(batch)
+        if real < batch_size:  # pad; padded rows sliced off below
+            batch = np.concatenate([batch, np.repeat(batch[-1:], batch_size - real, 0)])
+        head_pos = ent2idx[batch[:, 0]]
+        tail_pos = ent2idx[batch[:, 1]]
+        assert head_pos.min() >= 0 and tail_pos.min() >= 0, \
+            "eval triple references an entity outside the candidate set"
+
+        if compute_filtered:
+            hf, tf = build_filters(batch, filter_index, ent2idx, pad_width=filter_pad)
+        else:
+            hf = tf = empty_filters
+
+        counts = _rank_batch(
+            ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),
+            rel_emb_table[jnp.asarray(batch[:, 2])], num_valid,
+            jnp.asarray(hf), jnp.asarray(tf), rel_model=cfg.rel_model, tile=tile)
+        counts = {k: np.asarray(v)[:real] for k, v in counts.items()}
+
+        total_gt.append(np.concatenate([counts["h_gt"], counts["t_gt"]]))
+        total_geq.append(np.concatenate([counts["h_geq"], counts["t_geq"]]))
+        if compute_filtered:
+            filt_gt.append(np.concatenate([counts["h_gt"] - counts["h_fgt"],
+                                           counts["t_gt"] - counts["t_fgt"]]))
+            filt_geq.append(np.concatenate([counts["h_geq"] - counts["h_fgeq"],
+                                           counts["t_geq"] - counts["t_fgeq"]]))
+        triples_seen.append(batch[:real])
+        if log and (bi + 1) % max(1, n_batches // 5) == 0:
+            log.info(f"[rank {bi + 1:,}/{n_batches:,}]")
+
+    def finish(gts, geqs):
+        # Per-direction blocks stay [heads...tails] per batch; for breakdowns
+        # we need global [all-head-corruption; all-tail-corruption] ordering.
+        h = np.concatenate([np.split(x, 2)[0] for x in gts])
+        t = np.concatenate([np.split(x, 2)[1] for x in gts])
+        gh = np.concatenate([np.split(x, 2)[0] for x in geqs])
+        gt_ = np.concatenate([np.split(x, 2)[1] for x in geqs])
+        ranks = np.asarray(metrics.ranks_from_counts(
+            jnp.asarray(np.concatenate([h, t])), jnp.asarray(np.concatenate([gh, gt_]))))
+        rec = 1.0 / ranks
+        hits = {k: float((ranks <= k).mean()) for k in HIT_POSITIONS}
+        return float(rec.mean()), hits, rec
+
+    mrr, hits, _ = finish(total_gt, total_geq)
+    result = EvalResult(mrr=mrr, hits=hits)
+
+    all_triples = np.concatenate(triples_seen)
+    if compute_filtered:
+        mrr_f, hits_f, rec_f = finish(filt_gt, filt_geq)
+        result.mrr_filt, result.hits_filt = mrr_f, hits_f
+
+        if new_entities is not None:
+            mask = np.zeros(max_ent_id + 1, bool)
+            mask[np.asarray(new_entities, np.int64)] = True
+            sums, cnts = metrics.split_by_new_position(
+                all_triples, rec_f, jnp.asarray(mask))
+            cnts = np.maximum(np.asarray(cnts), 1.0)
+            result.mrr_by_position = np.asarray(sums) / cnts
+        if rel_categories is not None:
+            sums, cnts = metrics.split_by_category(
+                all_triples, rec_f, jnp.asarray(rel_categories))
+            cnts = np.maximum(np.asarray(cnts), 1.0)
+            result.mrr_by_category = np.asarray(sums) / cnts
+
+    if return_embeddings:
+        result.ent_emb = np.asarray(ent_emb)[:n]
+        result.entities = entities
+    return result

@@ -1,0 +1,157 @@
+"""Rank-against-all-entities scoring as tiled streaming counts.
+
+The reference materializes a (B, N) score matrix per direction and applies
+dense boolean filter masks (reference: train.py:146-165) — at Wikidata5M
+(N=4.8M) that forces eval_batch_size=2. Here ranking is a streaming reduction:
+`lax.scan` over candidate tiles computes tie-aware (gt, geq) counts per tile
+and accumulates — peak memory is (B, tile), independent of N, and each tile's
+scores feed the VPU/MXU directly.
+
+The bilinear scorers (distmult/complex/simple) collapse rank-vs-all into a
+single (B, d) x (d, tile) matmul per tile via a per-query "dual vector" — the
+MXU path; TransE keeps the broadcast L1 form on the VPU.
+
+Exactness policy for tie-aware ranks (reference: utils.py:102-106 counts the
+true entity's self-tie in `worst_rank`): the true entity and the filtered
+known-true answers are handled BY POSITION, not by float comparison —
+  * the self column is excluded from the streamed counts and contributes
+    exactly (gt += 0, geq += 1);
+  * filtered columns' contributions are gathered from the very tile scores
+    being counted, so the filtered subtraction is exact by construction (the
+    reference instead writes min-1 into a dense matrix; the equivalence of
+    count-exclusion is proven in tests/test_metrics.py).
+The remaining float sensitivity — a non-self candidate whose score lands
+within accumulation-error of the true score — is measure-zero for continuous
+scores and can at most perturb one rank by 0.5 (tie vs non-tie).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from blp_tpu.models import scoring
+
+Array = jax.Array
+
+
+def dual_query(fixed_emb: Array, rel_emb: Array, *, rel_model: str, corrupt: str) -> Array | None:
+    """For bilinear scorers, the vector q with score(candidate) = cand @ q.
+
+    corrupt='head': score(c, t, r) as a function of candidate c;
+    corrupt='tail': score(h, c, r). Returns None for non-bilinear (transe).
+    """
+    if rel_model == "distmult":
+        return rel_emb * fixed_emb
+    if rel_model == "complex":
+        r_re, r_im = jnp.split(rel_emb, 2, axis=-1)
+        f_re, f_im = jnp.split(fixed_emb, 2, axis=-1)
+        if corrupt == "head":
+            # c_re . (r_re*t_re + r_im*t_im) + c_im . (r_re*t_im - r_im*t_re)
+            return jnp.concatenate([r_re * f_re + r_im * f_im,
+                                    r_re * f_im - r_im * f_re], axis=-1)
+        # c as tail: c_re . (r_re*h_re - r_im*h_im) + c_im . (r_re*h_im + r_im*h_re)
+        return jnp.concatenate([r_re * f_re - r_im * f_im,
+                                r_re * f_im + r_im * f_re], axis=-1)
+    if rel_model == "simple":
+        r_a, r_b = jnp.split(rel_emb, 2, axis=-1)
+        f_h, f_t = jnp.split(fixed_emb, 2, axis=-1)
+        if corrupt == "head":
+            # (c_h . (r_a*t_t) + c_t . (r_b*t_h)) / 2
+            return jnp.concatenate([r_a * f_t, r_b * f_h], axis=-1) / 2.0
+        # (h_h . (r_a*c_t) + h_t . (r_b*c_h)) / 2 -> c_h: r_b*h_t, c_t: r_a*h_h
+        return jnp.concatenate([r_b * f_t, r_a * f_h], axis=-1) / 2.0
+    return None
+
+
+def score_tile(tile_emb: Array, fixed_emb: Array, rel_emb: Array, *,
+               rel_model: str, corrupt: str) -> Array:
+    """Scores of a candidate tile for every query: (B, tile).
+
+    tile_emb: (T, d); fixed_emb/rel_emb: (B, d).
+    """
+    q = dual_query(fixed_emb, rel_emb, rel_model=rel_model, corrupt=corrupt)
+    if q is not None:
+        return jnp.dot(q, tile_emb.T, preferred_element_type=jnp.float32)
+    score = scoring.get_score_fn(rel_model)
+    if corrupt == "head":
+        return score(tile_emb[None, :, :], fixed_emb[:, None, :], rel_emb[:, None, :])
+    return score(fixed_emb[:, None, :], tile_emb[None, :, :], rel_emb[:, None, :])
+
+
+def score_pairs(own_emb: Array, fixed_emb: Array, rel_emb: Array, *,
+                rel_model: str, corrupt: str) -> Array:
+    """Score of each query's own (true) candidate, (B,). Used as the pivot for
+    tie-aware counts; self/filter handling is positional so this value's exact
+    float path is uncritical (see module docstring)."""
+    q = dual_query(fixed_emb, rel_emb, rel_model=rel_model, corrupt=corrupt)
+    if q is not None:
+        return jnp.einsum("bd,bd->b", q, own_emb, preferred_element_type=jnp.float32)
+    score = scoring.get_score_fn(rel_model)
+    if corrupt == "head":
+        return score(own_emb, fixed_emb, rel_emb)
+    return score(fixed_emb, own_emb, rel_emb)
+
+
+@functools.partial(jax.jit, static_argnames=("rel_model", "corrupt", "tile"))
+def tiled_rank_counts(
+    table: Array,
+    fixed_emb: Array,
+    rel_emb: Array,
+    true_scores: Array,
+    true_pos: Array,
+    filter_pos: Array,
+    num_valid: Array,
+    *,
+    rel_model: str,
+    corrupt: str,
+    tile: int = 4096,
+):
+    """Stream over the candidate table accumulating tie-aware rank counts.
+
+    Args:
+      table: (Np, d) candidate embeddings, Np a multiple of `tile`.
+      fixed_emb: (B, d) the non-corrupted side's embeddings.
+      rel_emb: (B, d).
+      true_scores: (B, 1) pivot score of the true entity (see score_pairs).
+      true_pos: (B,) column of the true entity (excluded positionally).
+      filter_pos: (B, F) columns of filtered known-true answers, -1 padded.
+      num_valid: scalar int — number of real (non-padding) candidates.
+
+    Returns dict with (B,) int32 counts over valid non-self candidates:
+      gt/geq   — raw counts (caller adds the self-tie: rank uses geq + 1);
+      fgt/fgeq — the filtered columns' share of gt/geq (subtract for the
+                 filtered metric). Gathered from the same tile scores, so
+                 the subtraction is exact.
+    """
+    n_pad, d = table.shape
+    b = fixed_emb.shape[0]
+    n_tiles = n_pad // tile
+
+    def body(carry, tile_idx):
+        gt_a, geq_a, fgt_a, fgeq_a = carry
+        start = tile_idx * tile
+        tile_emb = jax.lax.dynamic_slice(table, (start, 0), (tile, d))
+        s = score_tile(tile_emb, fixed_emb, rel_emb,
+                       rel_model=rel_model, corrupt=corrupt)  # (B, tile)
+
+        cols = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        valid = (cols < num_valid) & (cols != true_pos[:, None])
+        gt = ((s > true_scores) & valid).sum(-1, dtype=jnp.int32)
+        geq = ((s >= true_scores) & valid).sum(-1, dtype=jnp.int32)
+
+        # Filtered columns inside this tile: gather their scores from s.
+        local = filter_pos - start                       # (B, F)
+        in_tile = (filter_pos >= 0) & (local >= 0) & (local < tile)
+        s_f = jnp.take_along_axis(s, jnp.clip(local, 0, tile - 1), axis=1)
+        fgt = ((s_f > true_scores) & in_tile).sum(-1, dtype=jnp.int32)
+        fgeq = ((s_f >= true_scores) & in_tile).sum(-1, dtype=jnp.int32)
+
+        return (gt_a + gt, geq_a + geq, fgt_a + fgt, fgeq_a + fgeq), None
+
+    zeros = jnp.zeros(b, jnp.int32)
+    (gt, geq, fgt, fgeq), _ = jax.lax.scan(
+        body, (zeros, zeros, zeros, zeros), jnp.arange(n_tiles))
+    return {"gt": gt, "geq": geq, "fgt": fgt, "fgeq": fgeq}
