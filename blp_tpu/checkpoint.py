@@ -1,0 +1,68 @@
+"""Checkpointing: params + optimizer state + step counters, with resume.
+
+The reference saves only the model weights of the best epoch
+(train.py:340,372-375) — training cannot resume mid-run (SURVEY.md §5.4).
+Here a checkpoint carries the full training state. Format: one .npz holding
+the pytree leaves in jax tree-flatten order plus path names for dict-trees
+and a JSON metadata blob — no framework pickle, loadable with plain numpy.
+
+Custom-node pytrees (e.g. optax states, which contain namedtuples) are
+restored with `load_pytree(path, template=...)`, unflattening into the
+template's treedef; plain dict/list trees load without a template.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def _structure(tree):
+    if isinstance(tree, dict):
+        return {k: _structure(v) for k, v in tree.items()}
+    if isinstance(tree, tuple):
+        return ["__tuple__", [_structure(v) for v in tree]]
+    if isinstance(tree, list):
+        return ["__list__", [_structure(v) for v in tree]]
+    return None
+
+
+def save_pytree(path: str, tree, metadata: dict | None = None) -> None:
+    tree = jax.device_get(tree)
+    leaves = jax.tree.leaves(tree)
+    arrays = {f"leaf_{i:05d}": np.asarray(v) for i, v in enumerate(leaves)}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        structure = json.dumps(_structure(tree))
+    except TypeError:
+        structure = "null"
+    np.savez(path, __metadata__=json.dumps(metadata or {}),
+             __structure__=structure, **arrays)
+
+
+def _rebuild(structure, leaves: list):
+    if structure is None:
+        return leaves.pop(0)
+    if isinstance(structure, dict):
+        return {k: _rebuild(structure[k], leaves) for k in sorted(structure)}
+    kind, children = structure
+    seq = [_rebuild(c, leaves) for c in children]
+    return seq if kind == "__list__" else tuple(seq)
+
+
+def load_pytree(path: str, template=None):
+    """Returns (tree, metadata). With `template`, leaves are unflattened into
+    the template's treedef (required for custom nodes like optax states)."""
+    with np.load(path, allow_pickle=False) as data:
+        metadata = json.loads(str(data["__metadata__"]))
+        structure = json.loads(str(data["__structure__"]))
+        leaves = [data[k] for k in sorted(data.files) if k.startswith("leaf_")]
+    if template is not None:
+        treedef = jax.tree.structure(template)
+        return jax.tree.unflatten(treedef, leaves), metadata
+    if structure is None:
+        raise ValueError(f"{path} requires a template to restore its pytree type")
+    return _rebuild(structure, leaves), metadata

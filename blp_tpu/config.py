@@ -1,0 +1,97 @@
+"""Experiment configuration + sacred-style CLI overrides.
+
+The reference uses sacred (`@ex.config` in train.py:35-55, CLI form
+`python train.py link_prediction with key=value ...`). This module provides
+the same ergonomics without the dependency: a typed dataclass of defaults and
+a `with k=v` parser, so the reference's 48 launcher scripts translate 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # Reference defaults (train.py:35-55).
+    dataset: str = "umls"
+    inductive: bool = True
+    dim: int = 128
+    model: str = "blp"              # blp | bert-bow | bert-dkrl | glove-bow | glove-dkrl | transductive
+    rel_model: str = "transe"
+    loss_fn: str = "margin"
+    encoder_name: str = "bert-base-cased"
+    regularizer: float = 0.0
+    max_len: int = 32
+    num_negatives: int = 64
+    lr: float = 2e-5
+    use_scheduler: bool = True
+    batch_size: int = 64
+    emb_batch_size: int = 512
+    eval_batch_size: int = 64
+    max_epochs: int = 40
+    checkpoint: str | None = None
+    use_cached_text: bool = False
+
+    # TPU-native additions.
+    data_dir: str = "data"
+    out_dir: str = "output"
+    run_id: str | None = None
+    seed: int = 0
+    vocab_file: str | None = None       # WordPiece vocab (offline); default <dataset>/vocab.txt
+    glove_file: str | None = None       # GloVe tensor .pt for glove-* models
+    hf_weights: str | None = None       # local HF BertModel state dict (.pt/.bin) for model=blp
+    bf16: bool = False                  # bfloat16 encoder compute
+    remat: bool = False                 # rematerialize BERT layers in backward
+    tile: int = 4096                    # ranking tile width
+    eval_every: int = 1                 # epochs between validation evals
+    large_dataset: bool = False         # Wikidata5M mode: no global filter graph,
+                                        # no train-sample eval (train.py:297-315)
+    num_data_shards: int = 1            # data-parallel shards (mesh 'data' axis)
+    log_every_frac: float = 0.05        # batch-loss logging interval
+
+    @property
+    def dataset_dir(self) -> str:
+        return f"{self.data_dir}/{self.dataset}"
+
+    def triples_file(self, split: str) -> str:
+        prefix = "ind-" if self.inductive and self.model != "transductive" else ""
+        return f"{self.dataset_dir}/{prefix}{split}.tsv"
+
+
+_BOOL = {"true": True, "false": False, "1": True, "0": False,
+         "yes": True, "no": False}
+
+
+def _coerce(value: str, field_type: Any):
+    if value.lower() in ("none", "null"):
+        return None
+    if field_type in (bool, "bool") or (hasattr(field_type, "__args__") and bool in getattr(field_type, "__args__", ())):
+        if value.lower() in _BOOL:
+            return _BOOL[value.lower()]
+    try:
+        return json.loads(value)
+    except (json.JSONDecodeError, ValueError):
+        return value
+
+
+def parse_overrides(argv: list[str], config: ExperimentConfig | None = None) -> ExperimentConfig:
+    """Parse `with key=value ...` CLI segments into a config.
+
+    Accepts both `with k=v` (sacred style) and bare `k=v` arguments.
+    Unknown keys raise — typos should not be silent.
+    """
+    cfg = config or ExperimentConfig()
+    fields = {f.name: f for f in dataclasses.fields(cfg)}
+    args = [a for a in argv if a != "with"]
+    for arg in args:
+        if "=" not in arg:
+            raise ValueError(f"Expected key=value, got {arg!r}")
+        key, value = arg.split("=", 1)
+        if key not in fields:
+            raise ValueError(f"Unknown config key {key!r}. Valid keys: "
+                             f"{', '.join(sorted(fields))}")
+        setattr(cfg, key, _coerce(value, fields[key].type))
+    return cfg

@@ -64,14 +64,17 @@ def build_filters(
     """
     rows_h: list[np.ndarray] = []
     rows_t: list[np.ndarray] = []
+    n_ids = len(ent2idx)
     for h, t, r in np.asarray(triples, dtype=np.int64):
         true_h = filter_index.true_heads(int(t), int(r))
-        true_h = true_h[true_h != h]
+        true_h = true_h[(true_h != h) & (true_h < n_ids)]
         pos = ent2idx[true_h]
         rows_h.append(pos[pos >= 0])
 
         true_t = filter_index.true_tails(int(h), int(r))
-        true_t = true_t[true_t != t]
+        # Known answers outside the candidate id range can't be ranked anyway
+        # (reference: utils.py:72-74 drops ent2idx == -1 entries).
+        true_t = true_t[(true_t != t) & (true_t < n_ids)]
         pos = ent2idx[true_t]
         rows_t.append(pos[pos >= 0])
 

@@ -1,0 +1,356 @@
+"""Training / evaluation driver.
+
+CLI (sacred-style, mirroring the reference's commands):
+
+    python -m blp_tpu.train link_prediction with dataset=umls model=blp ...
+    python -m blp_tpu.train node_classification with dataset=... checkpoint=...
+
+Reference behaviour mirrored (train.py:246-405): inductive/transductive data
+selection, filter-graph construction with the large-dataset (Wikidata5M)
+special case, per-epoch unfiltered train-sample/validation eval, best-raw-MRR
+checkpointing, final filtered valid+test eval from the best checkpoint, and
+entity-embedding export. TPU-native: one jitted train step (negatives sampled
+on-device), fixed-shape batches, streamed ranking eval, full-state
+checkpoints with resume, JSONL metrics stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blp_tpu import checkpoint as ckpt
+from blp_tpu import evaluation, training
+from blp_tpu.config import ExperimentConfig, parse_overrides
+from blp_tpu.data.datasets import GraphData, TextGraphData
+from blp_tpu.data.filtering import FilterIndex
+from blp_tpu.data.loader import epoch_batches, num_batches, text_train_batch
+from blp_tpu.data.tokenizers import GloVeTokenizer, WordPieceTokenizer
+from blp_tpu.models import bert, blp
+from blp_tpu.utils import get_logger
+
+log = get_logger()
+
+
+def make_tokenizer(cfg: ExperimentConfig):
+    if cfg.model in ("blp", "bert-bow", "bert-dkrl"):
+        vocab = cfg.vocab_file or osp.join(cfg.dataset_dir, "vocab.txt")
+        if not osp.exists(vocab):
+            raise FileNotFoundError(
+                f"WordPiece vocab not found at {vocab}; this environment has no "
+                f"network access — provide vocab_file= pointing at a local "
+                f"bert-base-cased vocab.txt")
+        return WordPieceTokenizer(vocab, do_lower_case=False)
+    maps = cfg.glove_file or osp.join(cfg.data_dir, "glove", "glove.6B.300d-maps.pt")
+    if maps.endswith(".pt"):
+        maps_path = maps.replace(".pt", "-maps.pt") if "-maps" not in maps else maps
+    else:
+        maps_path = maps
+    return GloVeTokenizer(maps_path)
+
+
+def make_model_config(cfg: ExperimentConfig, tokenizer, num_relations: int,
+                      num_entities: int) -> blp.ModelConfig:
+    encoder = None
+    emb_dim, vocab_size = 300, 0
+    if cfg.model == "blp":
+        vocab_size = len(tokenizer.vocab)
+        if cfg.encoder_name == "tiny":
+            encoder = bert.BertConfig.tiny(vocab_size=max(vocab_size, 128))
+        else:
+            encoder = bert.BertConfig(
+                vocab_size=vocab_size,
+                compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+                remat=cfg.remat)
+    elif cfg.model.startswith("bert"):
+        vocab_size = len(tokenizer.vocab)
+        emb_dim = 768 if cfg.encoder_name != "tiny" else 32
+    elif cfg.model.startswith("glove"):
+        vocab_size = len(tokenizer.word2idx)
+        emb_dim = 300
+    return blp.ModelConfig(
+        model=cfg.model, rel_model=cfg.rel_model, loss_fn=cfg.loss_fn,
+        dim=cfg.dim, num_relations=num_relations, num_entities=num_entities,
+        regularizer=cfg.regularizer, emb_dim=emb_dim, vocab_size=vocab_size,
+        encoder=encoder)
+
+
+def load_word_embeddings(cfg: ExperimentConfig, mcfg: blp.ModelConfig):
+    """Initial word table for bow/dkrl models (reference: models.py:119-137):
+    BERT's word_embeddings for BE- variants (from local weights if available),
+    a GloVe tensor for glove- variants; random otherwise."""
+    if cfg.model.startswith("glove"):
+        path = cfg.glove_file or osp.join(cfg.data_dir, "glove", "glove.6B.300d.pt")
+        if osp.exists(path):
+            import torch
+            t = torch.load(path, weights_only=False)
+            return np.asarray(t.numpy(), np.float32)
+        log.warning(f"GloVe tensor {path} not found; using random init")
+        return None
+    if cfg.model.startswith("bert") and cfg.hf_weights and osp.exists(cfg.hf_weights):
+        import torch
+        sd = torch.load(cfg.hf_weights, map_location="cpu", weights_only=False)
+        for key in ("embeddings.word_embeddings.weight",
+                    "bert.embeddings.word_embeddings.weight"):
+            if key in sd:
+                return np.asarray(sd[key].numpy(), np.float32)
+    return None
+
+
+def init_model_params(cfg: ExperimentConfig, mcfg: blp.ModelConfig, key):
+    hf_sd = None
+    if cfg.model == "blp" and cfg.hf_weights and osp.exists(cfg.hf_weights):
+        import torch
+        hf_sd = torch.load(cfg.hf_weights, map_location="cpu", weights_only=False)
+        log.info(f"Loaded HF BERT weights from {cfg.hf_weights}")
+    word_emb = load_word_embeddings(cfg, mcfg)
+    return blp.init_params(key, mcfg, word_embeddings=word_emb, hf_state_dict=hf_sd)
+
+
+class MetricsLog:
+    """JSONL metrics stream keyed by run id (the reference streams scalars to
+    Sacred/Mongo, train.py:202-212; a flat file needs no daemon)."""
+
+    def __init__(self, path: str):
+        os.makedirs(osp.dirname(path) or ".", exist_ok=True)
+        self.path = path
+
+    def log(self, step, **scalars):
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"step": step, "time": time.time(), **scalars}) + "\n")
+
+
+def link_prediction(cfg: ExperimentConfig) -> dict:
+    run_id = cfg.run_id or time.strftime("%Y%m%d-%H%M%S")
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    metrics_log = MetricsLog(osp.join(cfg.out_dir, f"metrics-{run_id}.jsonl"))
+    log.info(f"Run {run_id}: {cfg}")
+    rng = np.random.default_rng(cfg.seed)
+
+    # ---- data ------------------------------------------------------------
+    is_text = cfg.model != "transductive"
+    if is_text:
+        tokenizer = make_tokenizer(cfg)
+        train_data = TextGraphData.load(
+            cfg.triples_file("train"), tokenizer=tokenizer, max_len=cfg.max_len,
+            drop_stopwords=cfg.model in blp.DROP_STOPWORD_MODELS,
+            write_maps=True, use_cached_text=cfg.use_cached_text)
+    else:
+        tokenizer = None
+        train_data = GraphData.load(cfg.triples_file("train"), write_maps=True)
+
+    valid_data = GraphData.load(cfg.triples_file("dev"))
+    test_data = GraphData.load(cfg.triples_file("test"))
+
+    # Filter graph + new-entity sets (reference: train.py:296-315).
+    train_ent = train_data.entities
+    if not cfg.large_dataset:
+        all_triples = np.concatenate(
+            [train_data.triples, valid_data.triples, test_data.triples])
+        filter_index = FilterIndex(all_triples)
+        train_val_ent = np.unique(np.concatenate([train_ent, valid_data.entities]))
+        train_val_test_ent = np.unique(
+            np.concatenate([train_val_ent, test_data.entities]))
+        val_new = np.setdiff1d(train_val_ent, train_ent)
+        test_new = np.setdiff1d(train_val_test_ent, train_val_ent)
+    else:
+        filter_index = None
+        train_val_ent = valid_data.entities
+        train_val_test_ent = test_data.entities
+        val_new = test_new = None
+    metrics_log.log(0, num_train_entities=int(len(train_ent)))
+
+    # ---- model + optimizer ----------------------------------------------
+    mcfg = make_model_config(cfg, tokenizer, len(train_data.rel_ids),
+                             len(train_val_test_ent))
+    key = jax.random.key(cfg.seed)
+    key, k_init = jax.random.split(key)
+    params = init_model_params(cfg, mcfg, k_init)
+    if cfg.checkpoint:
+        params, meta = ckpt.load_pytree(cfg.checkpoint, template=params)
+        params = jax.tree.map(jnp.asarray, params)
+        log.info(f"Loaded checkpoint {cfg.checkpoint} ({meta})")
+
+    steps_per_epoch = num_batches(train_data, cfg.batch_size)
+    total_steps = max(steps_per_epoch * cfg.max_epochs, 1)
+    optimizer = training.make_optimizer(cfg.lr, total_steps, cfg.use_scheduler)
+    opt_state = optimizer.init(params)
+    train_step = training.make_train_step(
+        mcfg, optimizer, batch_size=cfg.batch_size,
+        num_negatives=cfg.num_negatives)
+
+    def run_eval(triples, entities, *, prefix, epoch, filtered=False,
+                 new_entities=None, max_num_batches=None, return_embeddings=False):
+        res = evaluation.eval_link_prediction(
+            params, mcfg, triples, train_data, entities,
+            batch_size=cfg.eval_batch_size, emb_batch_size=cfg.emb_batch_size,
+            tile=cfg.tile, filter_index=filter_index if filtered else None,
+            new_entities=new_entities,
+            rel_categories=train_data.rel_categories if train_data.has_rel_categories else None,
+            max_num_batches=max_num_batches,
+            return_embeddings=return_embeddings, log=log)
+        scalars = res.scalars(prefix)
+        metrics_log.log(epoch, **scalars)
+        log.info("  ".join(f"{k}: {v:.4f}" for k, v in scalars.items()))
+        return res
+
+    # ---- training loop ---------------------------------------------------
+    best_mrr = 0.0
+    ckpt_file = osp.join(cfg.out_dir, f"model-{run_id}.npz")
+    global_step = 0
+    log_every = max(1, int(cfg.log_every_frac * steps_per_epoch))
+    for epoch in range(1, cfg.max_epochs + 1):
+        epoch_loss, t0 = 0.0, time.time()
+        for step_i, triples in enumerate(
+                epoch_batches(train_data, cfg.batch_size, rng=rng)):
+            if is_text:
+                batch = text_train_batch(train_data, triples)
+            else:
+                batch = {"pos_pairs": triples[:, :2], "rels": triples[:, 2]}
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            key, k_step = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, k_step, batch)
+            global_step += 1
+            loss_val = float(loss)
+            epoch_loss += loss_val
+            if step_i % log_every == 0:
+                log.info(f"Epoch {epoch}/{cfg.max_epochs} "
+                         f"[{step_i}/{steps_per_epoch}]: {loss_val:.6f}")
+                metrics_log.log(global_step, batch_loss=loss_val)
+        dt = time.time() - t0
+        tput = steps_per_epoch * cfg.batch_size / max(dt, 1e-9)
+        metrics_log.log(epoch, train_loss=epoch_loss / max(steps_per_epoch, 1),
+                        triples_per_sec=tput)
+        log.info(f"Epoch {epoch}: loss {epoch_loss / max(steps_per_epoch, 1):.6f} "
+                 f"({tput:,.0f} triples/s)")
+
+        if epoch % cfg.eval_every == 0:
+            if not cfg.large_dataset:
+                log.info("Evaluating on sample of training set")
+                n_val_batches = -(-valid_data.num_triples // cfg.eval_batch_size)
+                run_eval(train_data.triples, train_ent, prefix="train",
+                         epoch=epoch, max_num_batches=n_val_batches)
+            log.info("Evaluating on validation set")
+            res = run_eval(valid_data.triples, train_val_ent, prefix="valid",
+                           epoch=epoch)
+            if res.mrr > best_mrr:
+                best_mrr = res.mrr
+                ckpt.save_pytree(ckpt_file, params,
+                                 {"epoch": epoch, "mrr": res.mrr, "run_id": run_id})
+                log.info(f"New best valid MRR {best_mrr:.4f}; saved {ckpt_file}")
+
+    # ---- final filtered evaluation from best checkpoint -------------------
+    if cfg.max_epochs > 0 and osp.exists(ckpt_file):
+        params, _ = ckpt.load_pytree(ckpt_file, template=params)
+        params = jax.tree.map(jnp.asarray, params)
+
+    if cfg.large_dataset:
+        filter_index = FilterIndex(valid_data.triples)
+    log.info("Evaluating on validation set (with filtering)")
+    run_eval(valid_data.triples, train_val_ent, prefix="valid",
+             epoch=cfg.max_epochs + 1, filtered=True, new_entities=val_new)
+
+    if cfg.large_dataset:
+        filter_index = FilterIndex(test_data.triples)
+    log.info("Evaluating on test set")
+    test_res = run_eval(test_data.triples, train_val_test_ent, prefix="test",
+                        epoch=cfg.max_epochs + 1, filtered=True,
+                        new_entities=test_new, return_embeddings=True)
+
+    emb_path = osp.join(cfg.out_dir, f"ent_emb-{run_id}.npz")
+    np.savez(emb_path, ent_emb=test_res.ent_emb, entities=test_res.entities)
+    log.info(f"Saved entity embeddings to {emb_path}")
+    return {"run_id": run_id, "test_mrr": test_res.mrr,
+            "test_mrr_filt": test_res.mrr_filt, "checkpoint": ckpt_file}
+
+
+def node_classification(cfg: ExperimentConfig) -> dict:
+    """Frozen-embedding entity classification (reference: train.py:408-481):
+    LogisticRegression C-sweep on dev, refit on train+dev, report accuracy and
+    balanced accuracy."""
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.metrics import accuracy_score, balanced_accuracy_score
+
+    data = np.load(osp.join(cfg.out_dir, f"ent_emb-{cfg.checkpoint}.npz"))
+    ent_emb, emb_ids = data["ent_emb"], data["entities"]
+    log.info(f"Loaded {len(ent_emb)} embeddings dim={ent_emb.shape[1]}")
+
+    from blp_tpu.data.datasets import load_maps
+    from blp_tpu.utils import make_ent2idx
+    ent_ids, _ = load_maps(cfg.dataset_dir)
+    ent2idx = make_ent2idx(emb_ids, int(emb_ids.max()))
+
+    class2label: dict[str, int] = {}
+    splits = {}
+    for split in ("train", "dev", "test"):
+        idx, labels = [], []
+        with open(osp.join(cfg.dataset_dir, f"{split}-ents-class.txt")) as f:
+            for line in f:
+                entity, ent_class = line.strip().split()
+                pos = int(ent2idx[ent_ids[entity]])
+                if pos < 0:
+                    raise ValueError(f"No embedding for entity {entity}")
+                idx.append(pos)
+                labels.append(class2label.setdefault(ent_class, len(class2label)))
+        splits[split] = (ent_emb[idx], np.asarray(labels))
+
+    x_train, y_train = splits["train"]
+    x_dev, y_dev = splits["dev"]
+    x_test, y_test = splits["test"]
+
+    best_acc, best_c = 0.0, 1.0
+    for k in range(-4, 2):
+        c = 10.0 ** -k
+        clf = LogisticRegression(C=c, max_iter=1000)
+        clf.fit(x_train, y_train)
+        acc = accuracy_score(y_dev, clf.predict(x_dev))
+        log.info(f"C={c:g} dev acc={acc:.3f}")
+        if acc > best_acc:
+            best_acc, best_c = acc, c
+
+    log.info(f"Best C: {best_c:g}")
+    clf = LogisticRegression(C=best_c, max_iter=1000)
+    x_all = np.concatenate([x_train, x_dev])
+    y_all = np.concatenate([y_train, y_dev])
+    clf.fit(x_all, y_all)
+
+    out = {"best_c": best_c}
+    for name, fn in (("accuracy", accuracy_score),
+                     ("balanced_accuracy", balanced_accuracy_score)):
+        out[f"train_{name}"] = float(fn(y_all, clf.predict(x_all)))
+        out[f"test_{name}"] = float(fn(y_test, clf.predict(x_test)))
+        log.info(f"Train {name}: {out[f'train_{name}']:.3f}  "
+                 f"Test {name}: {out[f'test_{name}']:.3f}")
+
+    import joblib
+    joblib.dump({"model": clf,
+                 "id_to_class": {v: k for k, v in class2label.items()}},
+                osp.join(cfg.out_dir, f"classifier-{cfg.checkpoint}.joblib"))
+    return out
+
+
+COMMANDS = {"link_prediction": link_prediction,
+            "node_classification": node_classification}
+
+
+def main(argv: list[str] | None = None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in COMMANDS:
+        print(f"Usage: python -m blp_tpu.train {{{'|'.join(COMMANDS)}}} "
+              f"[with key=value ...]", file=sys.stderr)
+        return 2
+    cfg = parse_overrides(argv[1:])
+    result = COMMANDS[argv[0]](cfg)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

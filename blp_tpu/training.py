@@ -1,0 +1,73 @@
+"""Training step construction: Adam + linear-warmup schedule, jitted step.
+
+Mirrors the reference's optimization setup (train.py:332-350): Adam at lr,
+optional linear schedule with 20% warmup then linear decay to zero, one
+optimizer step per batch. The step is a single jitted function that samples
+negatives on-device, runs the encoder fwd/bwd, and applies the update —
+nothing per-step happens on the host beyond feeding the token batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from blp_tpu.data.sampling import sample_negative_indices
+from blp_tpu.models import blp
+
+
+def linear_warmup_schedule(lr: float, total_steps: int, warmup_frac: float = 0.2):
+    """HF get_linear_schedule_with_warmup semantics (train.py:334-338):
+    lr * step/warmup during warmup, then linear decay to 0 at total_steps."""
+    warmup = int(warmup_frac * total_steps)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        w = jnp.maximum(warmup, 1)
+        t = jnp.maximum(total_steps - warmup, 1)
+        warm = step / w
+        decay = jnp.maximum(0.0, (total_steps - step) / t)
+        return lr * jnp.where(step < warmup, warm, decay)
+
+    return schedule
+
+
+def make_optimizer(lr: float, total_steps: int, use_scheduler: bool = True):
+    sched = linear_warmup_schedule(lr, total_steps) if use_scheduler else lr
+    return optax.adam(sched, eps=1e-8)
+
+
+def make_train_step(
+    cfg: blp.ModelConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    batch_size: int,
+    num_negatives: int,
+) -> Callable:
+    """Build the jitted train step.
+
+    step(params, opt_state, key, batch) -> (params, opt_state, loss)
+
+    batch: text models {text_tok (B,2,L), text_mask, rels}; transductive
+    {pos_pairs, rels}. Negative indices are sampled inside the step.
+    """
+
+    @jax.jit
+    def step(params, opt_state, key, batch):
+        k_neg, k_drop = jax.random.split(key)
+        batch = dict(batch)
+        batch["neg_idx"] = sample_negative_indices(k_neg, batch_size, num_negatives)
+
+        def loss_fn(p):
+            return blp.train_loss(p, cfg, batch, deterministic=False, rng=k_drop)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
