@@ -1,0 +1,75 @@
+"""Candidate-sharded full-ranking evaluation via shard_map + psum.
+
+This is the TPU-native answer to the reference's (B, N) dense eval
+(reference: train.py:146-165) at Wikidata5M scale: the candidate table's row
+axis is sharded across ALL devices (data*model flattened), each device runs
+the local tiled tie-aware counts over its (N/D, d) slice — including its
+share of the filtered known-true answers — and the integer counts are
+psum-reduced. Because the rank decomposes into per-shard sums
+(blp_tpu/metrics.py), the result is bit-identical to the single-device
+evaluator; no global (B, N) anything, no gather of the table.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from blp_tpu.ops import ranking
+
+AXES = ("data", "model")  # candidate axis sharded over both, flattened
+
+
+def shard_entity_table(table, mesh: Mesh):
+    """Place an (Np, d) table with rows sharded across every device. Np must
+    be a multiple of the device count (pad with rows >= num_valid)."""
+    return jax.device_put(table, NamedSharding(mesh, P(AXES)))
+
+
+def make_sharded_rank_counts(mesh: Mesh, *, rel_model: str, corrupt: str,
+                             tile: int):
+    """Build the sharded counting function.
+
+    fn(table, fixed_emb, rel_emb, true_scores, true_pos, filter_pos, num_valid)
+      -> dict of (B,) global counts {gt, geq, fgt, fgeq}
+
+    table: (Np, d) sharded over AXES; everything else replicated. true_pos /
+    filter_pos are GLOBAL candidate positions; each shard translates them into
+    its local frame via its axis index.
+    """
+    n_dev = mesh.devices.size
+
+    def local_counts(table_l, fixed_emb, rel_emb, true_scores, true_pos,
+                     filter_pos, num_valid):
+        # Flattened shard index along the candidate axis.
+        di = jax.lax.axis_index("data")
+        mi = jax.lax.axis_index("model")
+        shard = di * jax.lax.axis_size("model") + mi
+        rows = table_l.shape[0]
+        offset = shard * rows
+
+        local_true = true_pos - offset
+        local_filter = jnp.where(filter_pos >= 0, filter_pos - offset, -1)
+        # Out-of-shard positions fall outside [0, rows) and are ignored by the
+        # in-tile position checks; clamp num_valid into the local frame.
+        local_valid = jnp.clip(num_valid - offset, 0, rows)
+
+        c = ranking.tiled_rank_counts(
+            table_l, fixed_emb, rel_emb, true_scores,
+            local_true, local_filter, local_valid,
+            rel_model=rel_model, corrupt=corrupt, tile=tile)
+        return {k: jax.lax.psum(v, AXES) for k, v in c.items()}
+
+    fn = shard_map(
+        local_counts, mesh=mesh,
+        in_specs=(P(AXES), P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        # The scan carry inside tiled_rank_counts starts replicated and
+        # becomes shard-varying; psum restores replication at the end, so the
+        # varying-manual-axes check is disabled rather than threading pcast
+        # through a function also used outside shard_map.
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,123 @@
+"""Multi-device tests on the 8-device CPU mesh: DP/TP train step parity with
+the single-device step, and candidate-sharded eval parity with the
+single-device evaluator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blp_tpu import training
+from blp_tpu.data.sampling import sample_negative_indices
+from blp_tpu.models import bert, blp
+from blp_tpu.ops import ranking
+from blp_tpu.parallel import eval_parallel, mesh as mesh_lib, train_parallel
+
+B, K, L = 16, 8, 16
+
+
+def _model(rel_model="transe", heads=4):
+    cfg = blp.ModelConfig(
+        model="blp", rel_model=rel_model, loss_fn="margin", dim=16,
+        num_relations=3,
+        encoder=bert.BertConfig.tiny(num_heads=heads))
+    params = blp.init_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def _batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    tok = rng.integers(1, cfg.encoder.vocab_size, size=(B, 2, L))
+    mask = np.ones((B, 2, L), np.float32)
+    return {"text_tok": jnp.asarray(tok), "text_mask": jnp.asarray(mask),
+            "rels": jnp.asarray(rng.integers(0, 3, size=(B,)))}
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_parallel_step_matches_single_device(mesh_shape):
+    cfg, params = _model()
+    mesh = mesh_lib.make_mesh(*mesh_shape)
+    opt = training.make_optimizer(1e-3, 10, use_scheduler=False)
+
+    # Single-device ground truth.
+    single_step = training.make_train_step(cfg, opt, batch_size=B,
+                                           num_negatives=K)
+    p0 = jax.tree.map(jnp.array, params)
+    s0 = opt.init(p0)
+    batch = _batch(cfg)
+    key = jax.random.key(42)
+    p1, s1, loss1 = single_step(p0, s0, key, batch)
+
+    # Sharded.
+    pp, ss, shardings = train_parallel.init_parallel_state(
+        params, opt, mesh, tensor_parallel=mesh_shape[1] > 1)
+    pstep = train_parallel.make_parallel_train_step(cfg, opt, batch_size=B,
+                                                    num_negatives=K)
+    sbatch = train_parallel.shard_batch(batch, mesh)
+    pp1, ss1, loss2 = pstep(pp, ss, key, sbatch)
+
+    assert np.isclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pp1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_tp_params_actually_sharded():
+    cfg, params = _model()
+    mesh = mesh_lib.make_mesh(4, 2)
+    shardings = mesh_lib.param_shardings(params, mesh, tensor_parallel=True)
+    spec = shardings["bert"]["layers"]["q_w"].spec
+    assert spec == jax.sharding.PartitionSpec(None, None, "model")
+    spec_out = shardings["bert"]["layers"]["attn_out_w"].spec
+    assert spec_out == jax.sharding.PartitionSpec(None, "model", None)
+    assert shardings["rel_emb"].spec == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.parametrize("rel_model", ["transe", "distmult"])
+def test_sharded_rank_counts_parity(rel_model):
+    rng = np.random.default_rng(0)
+    n_dev = jax.device_count()
+    tile = 8
+    N = 41
+    Np = ((N + n_dev * tile - 1) // (n_dev * tile)) * n_dev * tile
+    d = 16
+    Bq = 5
+    table = np.zeros((Np, d), np.float32)
+    table[:N] = rng.standard_normal((N, d)).astype(np.float32)
+    fixed = rng.standard_normal((Bq, d)).astype(np.float32)
+    rel = rng.standard_normal((Bq, d)).astype(np.float32)
+    true_pos = rng.integers(0, N, size=Bq).astype(np.int32)
+    filter_pos = np.full((Bq, 4), -1, np.int32)
+    filter_pos[0, :2] = [3, 17]
+    filter_pos[2, 0] = 40
+
+    true_scores = np.asarray(ranking.score_pairs(
+        jnp.asarray(table[true_pos]), jnp.asarray(fixed), jnp.asarray(rel),
+        rel_model=rel_model, corrupt="head"))[:, None]
+
+    # Single-device counts.
+    c1 = ranking.tiled_rank_counts(
+        jnp.asarray(table), jnp.asarray(fixed), jnp.asarray(rel),
+        jnp.asarray(true_scores), jnp.asarray(true_pos),
+        jnp.asarray(filter_pos), jnp.asarray(N, jnp.int32),
+        rel_model=rel_model, corrupt="head", tile=tile)
+
+    # Sharded counts.
+    mesh = mesh_lib.make_mesh(4, 2)
+    fn = eval_parallel.make_sharded_rank_counts(
+        mesh, rel_model=rel_model, corrupt="head", tile=tile)
+    table_sharded = eval_parallel.shard_entity_table(jnp.asarray(table), mesh)
+    c2 = fn(table_sharded, jnp.asarray(fixed), jnp.asarray(rel),
+            jnp.asarray(true_scores), jnp.asarray(true_pos),
+            jnp.asarray(filter_pos), jnp.asarray(N, jnp.int32))
+
+    for k in ("gt", "geq", "fgt", "fgeq"):
+        np.testing.assert_array_equal(np.asarray(c1[k]), np.asarray(c2[k]),
+                                      err_msg=k)
+
+
+def test_sampler_inside_sharded_step_is_global():
+    """Negative indices must span the GLOBAL 2B slot range on every shard."""
+    idx = np.asarray(sample_negative_indices(jax.random.key(0), B, 64))
+    assert idx.max() == 2 * B - 1 or idx.max() >= 2 * B - 4  # spans the range
+    assert idx.min() == 0 or idx.min() <= 3
