@@ -1,0 +1,80 @@
+"""Benchmark: flagship training throughput on the available accelerator.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the BLP flagship hot path — BERT-base encoder (bfloat16 compute)
+over 2B=256 descriptions of 32 tokens, TransE scoring of positives + 64
+in-batch negatives sampled on-device, margin loss, Adam step — one jitted
+step, fixed shapes. vs_baseline compares against the reference-equivalent
+PyTorch implementation measured by tools/measure_reference_baseline.py
+(bench_baseline.json; torch is CPU-only in this image, and the baseline JSON
+labels its hardware accordingly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from blp_tpu import training
+    from blp_tpu.models import bert, blp
+
+    B, L, K = 128, 32, 64
+    steps, warmup = 20, 3
+
+    cfg = blp.ModelConfig(
+        model="blp", rel_model="transe", loss_fn="margin", dim=128,
+        num_relations=16,
+        encoder=bert.BertConfig(compute_dtype=jnp.bfloat16))
+    params = blp.init_params(jax.random.key(0), cfg)
+    optimizer = training.make_optimizer(2e-5, 10_000)
+    opt_state = jax.jit(optimizer.init)(params)
+    step = training.make_train_step(cfg, optimizer, batch_size=B,
+                                    num_negatives=K)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "text_tok": jnp.asarray(rng.integers(1, cfg.encoder.vocab_size, (B, 2, L))),
+        "text_mask": jnp.asarray(np.ones((B, 2, L), np.float32)),
+        "rels": jnp.asarray(rng.integers(0, 16, (B,))),
+    }
+
+    key = jax.random.key(0)
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k, batch)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k, batch)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / steps
+    tput = B / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    vs = 0.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            vs = tput / json.load(f)["value"]
+
+    print(json.dumps({
+        "metric": "train_triples_per_sec",
+        "value": round(tput, 2),
+        "unit": "triples/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,26 +88,7 @@ class GraphData:
         directory = osp.dirname(triples_file)
         ent_ids, rel_ids = load_maps(directory, write=write_maps)
 
-        heads, tails, rels = [], [], []
-        with open(triples_file, encoding="utf-8") as f:
-            for line in f:
-                values = line.split()
-                if not values:
-                    continue
-                # FB13/WN11 carry a 4th column; -1 rows are negatives for the
-                # classification task and are skipped (reference: data.py:121-124).
-                if len(values) > 3 and values[3] == "-1":
-                    continue
-                h, r, t = values[:3]
-                heads.append(ent_ids[h])
-                tails.append(ent_ids[t])
-                rels.append(rel_ids[r])
-
-        triples = np.stack([
-            np.asarray(heads, np.int32),
-            np.asarray(tails, np.int32),
-            np.asarray(rels, np.int32),
-        ], axis=1) if heads else np.zeros((0, 3), np.int32)
+        triples = cls._parse_triples(triples_file, directory, ent_ids, rel_ids)
 
         entities = np.unique(triples[:, :2]) if len(triples) else np.zeros(0, np.int32)
         relations = np.unique(triples[:, 2]) if len(triples) else np.zeros(0, np.int32)
@@ -133,6 +114,41 @@ class GraphData:
             rel_categories=rel_categories,
             has_rel_categories=has_cats,
         )
+
+    @staticmethod
+    def _parse_triples(triples_file, directory, ent_ids, rel_ids) -> np.ndarray:
+        # Fast path: mmap'd C++ parser (blp_tpu/native) when the id maps come
+        # straight from entities.txt/relations.txt line order.
+        ents_path = osp.join(directory, "entities.txt")
+        rels_path = osp.join(directory, "relations.txt")
+        if osp.exists(ents_path) and osp.exists(rels_path):
+            from blp_tpu import native
+
+            packed = native.pack_triples(triples_file, ents_path, rels_path) \
+                if native.available() else None
+            if packed is not None:
+                return packed
+
+        heads, tails, rels = [], [], []
+        with open(triples_file, encoding="utf-8") as f:
+            for line in f:
+                values = line.split()
+                if not values:
+                    continue
+                # FB13/WN11 carry a 4th column; -1 rows are negatives for the
+                # classification task and are skipped (reference: data.py:121-124).
+                if len(values) > 3 and values[3] == "-1":
+                    continue
+                h, r, t = values[:3]
+                heads.append(ent_ids[h])
+                tails.append(ent_ids[t])
+                rels.append(rel_ids[r])
+
+        return np.stack([
+            np.asarray(heads, np.int32),
+            np.asarray(tails, np.int32),
+            np.asarray(rels, np.int32),
+        ], axis=1) if heads else np.zeros((0, 3), np.int32)
 
     @property
     def num_triples(self) -> int:
@@ -179,12 +195,30 @@ class TextGraphData(GraphData):
 
         ent_ids = self.ent_ids
         text_data = np.zeros((len(ent_ids), max_len + 1), np.int32)
+        text_files = [osp.join(directory, name)
+                      for name in ("entity2textlong.txt", "entity2text.txt")
+                      if osp.exists(osp.join(directory, name))]
+
+        # Native fast path: C++ WordPiece straight into the packed matrix
+        # (ASCII rows; unicode rows deferred to the Python tokenizer below).
+        vocab_file = getattr(tokenizer, "vocab_file", None)
+        if vocab_file and not drop_stopwords and len(text_files) == 1:
+            # (With several text files, a non-ASCII row deferred from file 1
+            # must not be native-filled from file 2 — first-file-wins; the
+            # single-file case covers the large datasets.)
+            from blp_tpu import native
+
+            if native.available():
+                native.wordpiece_encode_file(
+                    text_files[0], osp.join(directory, "entities.txt"),
+                    vocab_file, max_len=max_len,
+                    do_lower=getattr(tokenizer, "do_lower_case", False),
+                    text_data=text_data)
+
         read = set()
+        # Python path fills whatever the native pass left empty.
         # First file wins (reference: data.py:221-236).
-        for name in ("entity2textlong.txt", "entity2text.txt"):
-            path = osp.join(directory, name)
-            if not osp.exists(path):
-                continue
+        for path in text_files:
             with open(path, encoding="utf-8") as f:
                 for line in f:
                     values = line.rstrip("\n").split("\t")
@@ -192,12 +226,14 @@ class TextGraphData(GraphData):
                     if entity not in ent_ids or entity in read:
                         continue
                     read.add(entity)
+                    row = ent_ids[entity]
+                    if text_data[row, -1] != 0:
+                        continue  # already packed natively
                     text = " ".join(values[1:])
                     if drop_stopwords:
                         text = remove_stopwords(text)
                     ids = tokenizer.encode(text, max_length=max_len)
                     n = min(len(ids), max_len)
-                    row = ent_ids[entity]
                     text_data[row, :n] = ids[:n]
                     text_data[row, -1] = n
 

@@ -74,6 +74,7 @@ class WordPieceTokenizer:
                 raise ValueError("Provide vocab_file or vocab")
             vocab = load_vocab(vocab_file)
         self.vocab = vocab
+        self.vocab_file = vocab_file  # retained for the native fast path
         self.do_lower_case = do_lower_case
         self.max_chars_per_word = max_chars_per_word
         for tok in (UNK, CLS, SEP, PAD):
