@@ -28,7 +28,7 @@ def main():
     from blp_tpu.models import bert, blp
 
     B, L, K = 128, 32, 64
-    steps, warmup = 20, 3
+    steps, warmup = 30, 2
 
     cfg = blp.ModelConfig(
         model="blp", rel_model="transe", loss_fn="margin", dim=128,
@@ -48,16 +48,21 @@ def main():
     }
 
     key = jax.random.key(0)
+    # NOTE: on the axon-relayed TPU, jax.block_until_ready does NOT force
+    # execution — only a device->host read does. Warmup syncs via float()
+    # (the first real execution also pays the remote warmup, minutes); the
+    # timed loop dispatches asynchronously and forces the whole chain through
+    # the final loss, which depends on every preceding step's params.
     for i in range(warmup):
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k, batch)
-    jax.block_until_ready(loss)
+    float(loss)
 
     t0 = time.time()
     for i in range(steps):
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k, batch)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = (time.time() - t0) / steps
     tput = B / dt
 

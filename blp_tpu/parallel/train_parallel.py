@@ -48,9 +48,11 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 def make_parallel_train_step(cfg: blp.ModelConfig, optimizer, *,
                              batch_size: int, num_negatives: int):
-    """Jitted global-batch train step; sharding follows committed inputs."""
+    """Jitted global-batch train step; sharding follows committed inputs,
+    params/opt-state buffers are donated (in-place update per shard)."""
+    import functools
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key, batch):
         k_neg, k_drop = jax.random.split(key)
         batch = dict(batch)

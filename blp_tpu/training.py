@@ -10,7 +10,7 @@ nothing per-step happens on the host beyond feeding the token batch.
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +56,9 @@ def make_train_step(
     {pos_pairs, rels}. Negative indices are sampled inside the step.
     """
 
-    @jax.jit
+    # params/opt_state buffers are donated: the update happens in place on
+    # device, halving peak HBM and avoiding dead-copy churn.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key, batch):
         k_neg, k_drop = jax.random.split(key)
         batch = dict(batch)
