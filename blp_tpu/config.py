@@ -34,6 +34,9 @@ class ExperimentConfig:
     max_epochs: int = 40
     checkpoint: str | None = None
     use_cached_text: bool = False
+    resume: str | None = None           # train_state-*.npz to continue mid-run
+    stop_after_epochs: int | None = None  # early stop (schedule still spans
+                                          # max_epochs) — preemption testing
 
     # TPU-native additions.
     data_dir: str = "data"

@@ -93,10 +93,18 @@ def build_entity_table(
     return jnp.asarray(table)
 
 
-@functools.partial(jax.jit, static_argnames=("rel_model", "tile"))
+def _use_pallas_default(rel_model: str, dim: int) -> bool:
+    """The fused Pallas kernel serves TransE (non-matmul scorer) on real TPU;
+    bilinear scorers already ride the MXU via the dual-vector matmul."""
+    return (rel_model == "transe" and jax.default_backend() == "tpu"
+            and dim % 128 == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("rel_model", "tile", "use_pallas"))
 def _rank_batch(
     table, head_pos, tail_pos, rel_emb, num_valid,
     heads_filter, tails_filter, *, rel_model: str, tile: int,
+    use_pallas: bool = False,
 ):
     """Raw + filtered rank counts for one eval batch, both directions.
 
@@ -114,9 +122,16 @@ def _rank_batch(
         corrupt = "head" if direction == "h" else "tail"
         true_scores = ranking.score_pairs(
             own_emb, fixed_emb, rel_emb, rel_model=rel_model, corrupt=corrupt)[:, None]
-        c = ranking.tiled_rank_counts(
-            table, fixed_emb, rel_emb, true_scores, own_pos, filt, num_valid,
-            rel_model=rel_model, corrupt=corrupt, tile=tile)
+        if use_pallas:
+            from blp_tpu.ops import pallas_ranking
+
+            c = pallas_ranking.transe_tiled_rank_counts(
+                table, fixed_emb, rel_emb, true_scores, own_pos, filt,
+                num_valid, corrupt=corrupt, tile=tile)
+        else:
+            c = ranking.tiled_rank_counts(
+                table, fixed_emb, rel_emb, true_scores, own_pos, filt, num_valid,
+                rel_model=rel_model, corrupt=corrupt, tile=tile)
         # Self-tie: the true entity contributes exactly 1 to geq in both the
         # raw and filtered settings (reference: utils.py:104-105 counts it via
         # scores >= true at the self position).
@@ -143,6 +158,7 @@ def eval_link_prediction(
     max_num_batches: int | None = None,
     return_embeddings: bool = False,
     ent_emb: jax.Array | None = None,
+    use_pallas: bool | None = None,
     log=None,
 ) -> EvalResult:
     """Full-ranking evaluation over a candidate entity set.
@@ -216,7 +232,9 @@ def eval_link_prediction(
         counts = _rank_batch(
             ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),
             rel_emb_table[jnp.asarray(batch[:, 2])], num_valid,
-            jnp.asarray(hf), jnp.asarray(tf), rel_model=cfg.rel_model, tile=tile)
+            jnp.asarray(hf), jnp.asarray(tf), rel_model=cfg.rel_model, tile=tile,
+            use_pallas=(use_pallas if use_pallas is not None
+                        else _use_pallas_default(cfg.rel_model, cfg.entity_dim)))
         counts = {k: np.asarray(v)[:real] for k, v in counts.items()}
 
         total_gt.append(np.concatenate([counts["h_gt"], counts["t_gt"]]))

@@ -132,7 +132,6 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     os.makedirs(cfg.out_dir, exist_ok=True)
     metrics_log = MetricsLog(osp.join(cfg.out_dir, f"metrics-{run_id}.jsonl"))
     log.info(f"Run {run_id}: {cfg}")
-    rng = np.random.default_rng(cfg.seed)
 
     # ---- data ------------------------------------------------------------
     is_text = cfg.model != "transductive"
@@ -170,8 +169,7 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     # ---- model + optimizer ----------------------------------------------
     mcfg = make_model_config(cfg, tokenizer, len(train_data.rel_ids),
                              len(train_val_test_ent))
-    key = jax.random.key(cfg.seed)
-    key, k_init = jax.random.split(key)
+    k_init = jax.random.fold_in(jax.random.key(cfg.seed), 0xBEEF)
     params = init_model_params(cfg, mcfg, k_init)
     if cfg.checkpoint:
         params, meta = ckpt.load_pytree(cfg.checkpoint, template=params)
@@ -202,20 +200,38 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
         return res
 
     # ---- training loop ---------------------------------------------------
+    # RNG streams derive deterministically from (seed, epoch, step) so a
+    # resumed run replays the exact remaining schedule (the reference cannot
+    # resume mid-run at all — SURVEY.md §5.4).
     best_mrr = 0.0
+    start_epoch = 1
     ckpt_file = osp.join(cfg.out_dir, f"model-{run_id}.npz")
-    global_step = 0
+    state_file = osp.join(cfg.out_dir, f"train_state-{run_id}.npz")
+    if cfg.resume and osp.exists(cfg.resume):
+        (params, opt_state), meta = ckpt.load_pytree(
+            cfg.resume, template=(params, opt_state))
+        params = jax.tree.map(jnp.asarray, params)
+        opt_state = jax.tree.map(jnp.asarray, opt_state)
+        start_epoch = int(meta["epoch"]) + 1
+        best_mrr = float(meta.get("best_mrr", 0.0))
+        log.info(f"Resumed from {cfg.resume} at epoch {start_epoch}")
+
+    base_key = jax.random.key(cfg.seed)
+    global_step = (start_epoch - 1) * steps_per_epoch
     log_every = max(1, int(cfg.log_every_frac * steps_per_epoch))
-    for epoch in range(1, cfg.max_epochs + 1):
+    last_epoch = cfg.max_epochs if cfg.stop_after_epochs is None else \
+        min(cfg.max_epochs, cfg.stop_after_epochs)
+    for epoch in range(start_epoch, last_epoch + 1):
         epoch_loss, t0 = 0.0, time.time()
+        shuffle_rng = np.random.default_rng(cfg.seed * 1_000_003 + epoch)
         for step_i, triples in enumerate(
-                epoch_batches(train_data, cfg.batch_size, rng=rng)):
+                epoch_batches(train_data, cfg.batch_size, rng=shuffle_rng)):
             if is_text:
                 batch = text_train_batch(train_data, triples)
             else:
                 batch = {"pos_pairs": triples[:, :2], "rels": triples[:, 2]}
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, k_step = jax.random.split(key)
+            k_step = jax.random.fold_in(base_key, global_step)
             params, opt_state, loss = train_step(params, opt_state, k_step, batch)
             global_step += 1
             loss_val = float(loss)
@@ -245,6 +261,11 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
                 ckpt.save_pytree(ckpt_file, params,
                                  {"epoch": epoch, "mrr": res.mrr, "run_id": run_id})
                 log.info(f"New best valid MRR {best_mrr:.4f}; saved {ckpt_file}")
+
+        # Full training state for preemption-safe resume (resume=<file>).
+        ckpt.save_pytree(state_file, (params, opt_state),
+                         {"epoch": epoch, "best_mrr": best_mrr,
+                          "run_id": run_id, "seed": cfg.seed})
 
     # ---- final filtered evaluation from best checkpoint -------------------
     if cfg.max_epochs > 0 and osp.exists(ckpt_file):
