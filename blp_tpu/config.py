@@ -53,6 +53,7 @@ class ExperimentConfig:
     large_dataset: bool = False         # Wikidata5M mode: no global filter graph,
                                         # no train-sample eval (train.py:297-315)
     num_data_shards: int = 1            # data-parallel shards (mesh 'data' axis)
+    num_model_shards: int = 1           # tensor-parallel shards ('model' axis)
     log_every_frac: float = 0.05        # batch-loss logging interval
 
     @property

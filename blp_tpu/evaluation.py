@@ -93,6 +93,50 @@ def build_entity_table(
     return jnp.asarray(table)
 
 
+_MESH_RANK_CACHE: dict = {}
+
+
+def _mesh_rank_batch(mesh, rel_model: str, tile: int):
+    """Jitted per-batch raw+filtered counting over a candidate-sharded table
+    (shard_map + psum inside). Cached per (mesh, rel_model, tile)."""
+    key = (mesh, rel_model, tile)
+    if key in _MESH_RANK_CACHE:
+        return _MESH_RANK_CACHE[key]
+
+    from blp_tpu.parallel import eval_parallel
+
+    count_fns = {
+        corrupt: eval_parallel.make_sharded_rank_counts(
+            mesh, rel_model=rel_model, corrupt=corrupt, tile=tile)
+        for corrupt in ("head", "tail")
+    }
+
+    @jax.jit
+    def fn(table, head_pos, tail_pos, rel_emb, num_valid,
+           heads_filter, tails_filter):
+        head_emb = table[head_pos]
+        tail_emb = table[tail_pos]
+        out = {}
+        for direction, fixed_emb, own_emb, own_pos, filt in (
+            ("h", tail_emb, head_emb, head_pos, heads_filter),
+            ("t", head_emb, tail_emb, tail_pos, tails_filter),
+        ):
+            corrupt = "head" if direction == "h" else "tail"
+            true_scores = ranking.score_pairs(
+                own_emb, fixed_emb, rel_emb,
+                rel_model=rel_model, corrupt=corrupt)[:, None]
+            c = count_fns[corrupt](table, fixed_emb, rel_emb, true_scores,
+                                   own_pos, filt, num_valid)
+            out[f"{direction}_gt"] = c["gt"]
+            out[f"{direction}_geq"] = c["geq"] + 1
+            out[f"{direction}_fgt"] = c["fgt"]
+            out[f"{direction}_fgeq"] = c["fgeq"]
+        return out
+
+    _MESH_RANK_CACHE[key] = fn
+    return fn
+
+
 def _use_pallas_default(rel_model: str, dim: int) -> bool:
     """The fused Pallas kernel serves TransE (non-matmul scorer) on real TPU;
     bilinear scorers already ride the MXU via the dual-vector matmul."""
@@ -159,6 +203,7 @@ def eval_link_prediction(
     return_embeddings: bool = False,
     ent_emb: jax.Array | None = None,
     use_pallas: bool | None = None,
+    mesh=None,
     log=None,
 ) -> EvalResult:
     """Full-ranking evaluation over a candidate entity set.
@@ -170,17 +215,20 @@ def eval_link_prediction(
       new_entities: entity ids unseen in training, for the position breakdown.
       rel_categories: (num_rels,) category ids for the category breakdown.
       ent_emb: optionally a precomputed (padded) candidate table.
+      mesh: optional jax.sharding.Mesh — shards the candidate table's rows
+        over every device and psums the decomposed rank counts
+        (blp_tpu/parallel/eval_parallel.py); results are bit-identical to the
+        single-device path.
     """
     compute_filtered = filter_index is not None
     max_ent_id = int(max(entities.max(), eval_triples[:, :2].max()))
     ent2idx = make_ent2idx(entities, max_ent_id)
     n = len(entities)
-    n_pad = _round_up(n, tile)
+    pad_unit = tile if mesh is None else tile * mesh.devices.size
+    n_pad = _round_up(n, pad_unit)
 
     if ent_emb is None:
         if cfg.is_inductive:
-            L = text_data.max_len
-
             @jax.jit
             def encode_batch(tok, mask):
                 return blp.encode(params, cfg, tok, mask, deterministic=True)
@@ -188,12 +236,18 @@ def eval_link_prediction(
             ent_emb = build_entity_table(
                 encode_batch, text_data, entities,
                 emb_batch_size=emb_batch_size, dim=cfg.entity_dim,
-                pad_to=tile, log=log)
+                pad_to=pad_unit, log=log)
         else:
             table = blp.encode_entity_ids(params, cfg, jnp.asarray(entities))
             ent_emb = jnp.pad(table, ((0, n_pad - n), (0, 0)))
     elif ent_emb.shape[0] != n_pad:
         ent_emb = jnp.pad(ent_emb, ((0, n_pad - int(ent_emb.shape[0])), (0, 0)))
+
+    if mesh is not None:
+        from blp_tpu.parallel import eval_parallel
+
+        ent_emb = eval_parallel.shard_entity_table(ent_emb, mesh)
+        mesh_rank = _mesh_rank_batch(mesh, cfg.rel_model, tile)
 
     rel_emb_table = params["rel_emb"]
     num_valid = jnp.asarray(n, jnp.int32)
@@ -229,12 +283,19 @@ def eval_link_prediction(
         else:
             hf = tf = empty_filters
 
-        counts = _rank_batch(
-            ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),
-            rel_emb_table[jnp.asarray(batch[:, 2])], num_valid,
-            jnp.asarray(hf), jnp.asarray(tf), rel_model=cfg.rel_model, tile=tile,
-            use_pallas=(use_pallas if use_pallas is not None
-                        else _use_pallas_default(cfg.rel_model, cfg.entity_dim)))
+        if mesh is not None:
+            counts = mesh_rank(
+                ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),
+                rel_emb_table[jnp.asarray(batch[:, 2])], num_valid,
+                jnp.asarray(hf), jnp.asarray(tf))
+        else:
+            counts = _rank_batch(
+                ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),
+                rel_emb_table[jnp.asarray(batch[:, 2])], num_valid,
+                jnp.asarray(hf), jnp.asarray(tf), rel_model=cfg.rel_model,
+                tile=tile,
+                use_pallas=(use_pallas if use_pallas is not None
+                            else _use_pallas_default(cfg.rel_model, cfg.entity_dim)))
         counts = {k: np.asarray(v)[:real] for k, v in counts.items()}
 
         total_gt.append(np.concatenate([counts["h_gt"], counts["t_gt"]]))

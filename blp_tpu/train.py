@@ -179,10 +179,26 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     steps_per_epoch = num_batches(train_data, cfg.batch_size)
     total_steps = max(steps_per_epoch * cfg.max_epochs, 1)
     optimizer = training.make_optimizer(cfg.lr, total_steps, cfg.use_scheduler)
-    opt_state = optimizer.init(params)
-    train_step = training.make_train_step(
-        mcfg, optimizer, batch_size=cfg.batch_size,
-        num_negatives=cfg.num_negatives)
+
+    # SPMD over a (data, model) mesh when more than one shard is requested
+    # (replaces the reference's torch DataParallel, train.py:329-330).
+    mesh = None
+    if cfg.num_data_shards * cfg.num_model_shards > 1:
+        from blp_tpu.parallel import mesh as mesh_lib, train_parallel
+
+        mesh = mesh_lib.make_mesh(cfg.num_data_shards, cfg.num_model_shards)
+        log.info(f"Mesh: data={cfg.num_data_shards} model={cfg.num_model_shards}")
+        params, opt_state, _ = train_parallel.init_parallel_state(
+            params, optimizer, mesh,
+            tensor_parallel=cfg.num_model_shards > 1 and cfg.model == "blp")
+        train_step = train_parallel.make_parallel_train_step(
+            mcfg, optimizer, batch_size=cfg.batch_size,
+            num_negatives=cfg.num_negatives)
+    else:
+        opt_state = optimizer.init(params)
+        train_step = training.make_train_step(
+            mcfg, optimizer, batch_size=cfg.batch_size,
+            num_negatives=cfg.num_negatives)
 
     def run_eval(triples, entities, *, prefix, epoch, filtered=False,
                  new_entities=None, max_num_batches=None, return_embeddings=False):
@@ -193,7 +209,7 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
             new_entities=new_entities,
             rel_categories=train_data.rel_categories if train_data.has_rel_categories else None,
             max_num_batches=max_num_batches,
-            return_embeddings=return_embeddings, log=log)
+            return_embeddings=return_embeddings, mesh=mesh, log=log)
         scalars = res.scalars(prefix)
         metrics_log.log(epoch, **scalars)
         log.info("  ".join(f"{k}: {v:.4f}" for k, v in scalars.items()))
@@ -230,7 +246,11 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
                 batch = text_train_batch(train_data, triples)
             else:
                 batch = {"pos_pairs": triples[:, :2], "rels": triples[:, 2]}
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                from blp_tpu.parallel import train_parallel
+                batch = train_parallel.shard_batch(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             k_step = jax.random.fold_in(base_key, global_step)
             params, opt_state, loss = train_step(params, opt_state, k_step, batch)
             global_step += 1

@@ -1,0 +1,51 @@
+"""Full evaluator under a device mesh == single-device evaluator, bit-exact."""
+
+import jax
+import numpy as np
+import pytest
+
+from blp_tpu import evaluation
+from blp_tpu.data.datasets import GraphData, TextGraphData
+from blp_tpu.data.filtering import FilterIndex
+from blp_tpu.data.synth import write_synth_dataset
+from blp_tpu.data.tokenizers import WordPieceTokenizer
+from blp_tpu.models import blp
+from blp_tpu.parallel import mesh as mesh_lib
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = write_synth_dataset(str(tmp_path_factory.mktemp("evalmesh")),
+                            num_entities=48, num_relations=4,
+                            num_triples=220, seed=9)
+    tok = WordPieceTokenizer(f"{d}/vocab.txt")
+    train = TextGraphData.load(f"{d}/ind-train.tsv", tokenizer=tok,
+                               max_len=16, write_maps=True)
+    dev = GraphData.load(f"{d}/ind-dev.tsv")
+    test = GraphData.load(f"{d}/ind-test.tsv")
+    return d, train, dev, test
+
+
+@pytest.mark.parametrize("rel_model", ["transe", "simple"])
+def test_mesh_eval_bit_identical(setup, rel_model):
+    d, train, dev, test = setup
+    cfg = blp.ModelConfig(model="glove-bow", rel_model=rel_model, dim=0,
+                          num_relations=len(train.rel_ids), emb_dim=16,
+                          vocab_size=40)
+    params = blp.init_params(jax.random.key(2), cfg)
+    entities = np.unique(np.concatenate([train.entities, dev.entities]))
+    fidx = FilterIndex(np.concatenate([train.triples, dev.triples,
+                                       test.triples]))
+
+    kw = dict(batch_size=8, emb_batch_size=16, tile=8, filter_index=fidx,
+              rel_categories=train.rel_categories)
+    single = evaluation.eval_link_prediction(
+        params, cfg, dev.triples, train, entities, **kw)
+    meshed = evaluation.eval_link_prediction(
+        params, cfg, dev.triples, train, entities,
+        mesh=mesh_lib.make_mesh(4, 2), **kw)
+
+    assert meshed.mrr == pytest.approx(single.mrr, abs=0)
+    assert meshed.mrr_filt == pytest.approx(single.mrr_filt, abs=0)
+    assert meshed.hits == single.hits
+    assert meshed.hits_filt == single.hits_filt
