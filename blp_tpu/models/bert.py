@@ -104,10 +104,15 @@ def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
     return out
 
 
-def _dense(x: Array, w: Array, b: Array, dtype) -> Array:
+def _dense(x: Array, w: Array, b: Array, dtype, out_dtype=None) -> Array:
+    """Matmul in `dtype` with fp32 accumulation; `out_dtype` (default fp32)
+    controls the dtype carried forward — intermediate activations stay in the
+    compute dtype so backward residuals don't balloon to fp32 (a (2B, S, 4H)
+    fp32 FFN residual is what OOMs large batches)."""
     out = jnp.dot(x.astype(dtype), w.astype(dtype),
                   preferred_element_type=jnp.float32)
-    return out + b
+    out = out + b
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
@@ -118,9 +123,9 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     nh, hd = cfg.num_heads, cfg.head_dim
     dt = cfg.compute_dtype
 
-    q = _dense(x, lp["q_w"], lp["q_b"], dt).reshape(B, S, nh, hd)
-    k = _dense(x, lp["k_w"], lp["k_b"], dt).reshape(B, S, nh, hd)
-    v = _dense(x, lp["v_w"], lp["v_b"], dt).reshape(B, S, nh, hd)
+    q = _dense(x, lp["q_w"], lp["q_b"], dt, dt).reshape(B, S, nh, hd)
+    k = _dense(x, lp["k_w"], lp["k_b"], dt, dt).reshape(B, S, nh, hd)
+    v = _dense(x, lp["v_w"], lp["v_b"], dt, dt).reshape(B, S, nh, hd)
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt), k.astype(dt),
                         preferred_element_type=jnp.float32)
@@ -142,7 +147,7 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
                     cfg.layer_norm_eps)
 
-    ffn = _dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt)
+    ffn = _dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt, dt)
     ffn = jax.nn.gelu(ffn, approximate=False)
     ffn = _dense(ffn, lp["ffn_out_w"], lp["ffn_out_b"], dt)
     if dropout_rngs is not None and dropout_rate > 0.0:

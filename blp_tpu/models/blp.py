@@ -45,6 +45,7 @@ class ModelConfig:
     emb_dim: int = 300             # word-embedding width for bow/dkrl models
     vocab_size: int = 0            # word-vocab size for bow/dkrl models
     encoder: bert_mod.BertConfig | None = None  # for model == 'blp'
+    sddmm_pallas: bool = False     # fused Pallas pos+neg scoring (ops/pallas_sddmm)
 
     def __post_init__(self):
         if self.model not in ALL_MODELS:
@@ -201,6 +202,17 @@ def train_loss(
         ent = encode_entity_ids(params, cfg, batch["pos_pairs"])
 
     rel_embs = params["rel_emb"][batch["rels"].reshape(-1)]
+    if cfg.sddmm_pallas:
+        from blp_tpu.ops import pallas_sddmm
+
+        pos, neg = pallas_sddmm.sddmm_scores(
+            ent.reshape(-1, ent.shape[-1]), rel_embs, batch["neg_idx"],
+            cfg.rel_model)
+        total = scoring.get_loss_fn(cfg.loss_fn)(pos, neg)
+        if cfg.regularizer:
+            total = total + cfg.regularizer * scoring.l2_regularization(
+                ent[:, 0, :], ent[:, 1, :], rel_embs)
+        return total
     return scoring.compute_loss(
         ent, rel_embs, batch["neg_idx"],
         rel_model=cfg.rel_model, loss_fn=cfg.loss_fn, regularizer=cfg.regularizer)

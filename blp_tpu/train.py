@@ -167,8 +167,10 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     metrics_log.log(0, num_train_entities=int(len(train_ent)))
 
     # ---- model + optimizer ----------------------------------------------
+    # Transductive tables are sized by the id space (len(ent_ids)), not the
+    # split — entity ids index the table directly and may be sparse.
     mcfg = make_model_config(cfg, tokenizer, len(train_data.rel_ids),
-                             len(train_val_test_ent))
+                             len(train_data.ent_ids))
     k_init = jax.random.fold_in(jax.random.key(cfg.seed), 0xBEEF)
     params = init_model_params(cfg, mcfg, k_init)
     if cfg.checkpoint:
