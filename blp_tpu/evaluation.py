@@ -75,6 +75,9 @@ def build_entity_table(
     """
     n = len(entities)
     n_pad = _round_up(max(n, 1), pad_to)
+    # Chunks stay on device (async dispatch pipelines host tokenized-batch
+    # prep with encoder compute; a per-chunk host transfer would serialize
+    # every chunk on the device->host round trip).
     chunks = []
     for start in range(0, n, emb_batch_size):
         ids = entities[start : start + emb_batch_size]
@@ -84,13 +87,15 @@ def build_entity_table(
             tok = np.pad(tok, ((0, pad), (0, 0)))
             mask = np.pad(mask, ((0, pad), (0, 0)))
             mask[len(ids):, 0] = 1.0  # avoid 0/0 in mean-pool encoders
-        chunks.append(np.asarray(encode_batch(tok, mask))[: len(ids)])
+        chunks.append(encode_batch(jnp.asarray(tok), jnp.asarray(mask))[: len(ids)])
         if log and (start // emb_batch_size) % 20 == 0:
             log.info(f"[encode {start + len(ids):,}/{n:,}]")
-    table = np.concatenate(chunks, axis=0) if chunks else np.zeros((0, dim), np.float32)
+    if not chunks:
+        return jnp.zeros((n_pad, dim), jnp.float32)
+    table = jnp.concatenate(chunks, axis=0)
     if n_pad > n:
-        table = np.pad(table, ((0, n_pad - n), (0, 0)))
-    return jnp.asarray(table)
+        table = jnp.pad(table, ((0, n_pad - n), (0, 0)))
+    return table
 
 
 _MESH_RANK_CACHE: dict = {}
@@ -255,6 +260,7 @@ def eval_link_prediction(
     total_gt, total_geq = [], []
     filt_gt, filt_geq = [], []
     triples_seen = []
+    pending_counts = []
 
     t_total = len(eval_triples)
     n_batches = -(-t_total // batch_size)
@@ -296,8 +302,15 @@ def eval_link_prediction(
                 tile=tile,
                 use_pallas=(use_pallas if use_pallas is not None
                             else _use_pallas_default(cfg.rel_model, cfg.entity_dim)))
-        counts = {k: np.asarray(v)[:real] for k, v in counts.items()}
+        # Counts stay on device until the end of the loop — one host sync per
+        # eval, not per batch (dispatch pipelines with host-side filter prep).
+        pending_counts.append((counts, real))
+        triples_seen.append(batch[:real])
+        if log and (bi + 1) % max(1, n_batches // 5) == 0:
+            log.info(f"[rank {bi + 1:,}/{n_batches:,}]")
 
+    for counts, real in pending_counts:
+        counts = {k: np.asarray(v)[:real] for k, v in counts.items()}
         total_gt.append(np.concatenate([counts["h_gt"], counts["t_gt"]]))
         total_geq.append(np.concatenate([counts["h_geq"], counts["t_geq"]]))
         if compute_filtered:
@@ -305,9 +318,6 @@ def eval_link_prediction(
                                            counts["t_gt"] - counts["t_fgt"]]))
             filt_geq.append(np.concatenate([counts["h_geq"] - counts["h_fgeq"],
                                            counts["t_geq"] - counts["t_fgeq"]]))
-        triples_seen.append(batch[:real])
-        if log and (bi + 1) % max(1, n_batches // 5) == 0:
-            log.info(f"[rank {bi + 1:,}/{n_batches:,}]")
 
     def finish(gts, geqs):
         # Per-direction blocks stay [heads...tails] per batch; for breakdowns
