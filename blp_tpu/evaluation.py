@@ -234,9 +234,16 @@ def eval_link_prediction(
 
     if ent_emb is None:
         if cfg.is_inductive:
+            # Params must be a jit ARGUMENT, not a closure constant: closed-over
+            # arrays are baked into the compile payload, which both bloats the
+            # executable and exceeds remote-compile request limits for
+            # BERT-sized models.
             @jax.jit
+            def _encode(p, tok, mask):
+                return blp.encode(p, cfg, tok, mask, deterministic=True)
+
             def encode_batch(tok, mask):
-                return blp.encode(params, cfg, tok, mask, deterministic=True)
+                return _encode(params, tok, mask)
 
             ent_emb = build_entity_table(
                 encode_batch, text_data, entities,

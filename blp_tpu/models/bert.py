@@ -45,7 +45,14 @@ class BertConfig:
     attention_dropout: float = 0.1
     initializer_range: float = 0.02
     compute_dtype: Any = jnp.float32
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots" (save matmul outputs)
+    # Sequence packing for short descriptions: fold `pack` sequences into one
+    # row with a block-diagonal attention mask so the (S, hd, S) attention
+    # matmuls are MXU-tile-aligned (128x64x128 at S=32, pack=4) instead of
+    # 32x64x32. Exact: -10000 cross-block bias underflows to exactly 0 in the
+    # fp32 softmax, and FFN/LN are per-token. "auto" picks the largest
+    # pack <= 4 with pack*S <= 128 that divides the batch; 1 disables.
+    seq_pack: Any = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -96,12 +103,16 @@ def init_bert_params(key: Array, cfg: BertConfig) -> dict:
     }
 
 
-def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
+def _layer_norm(x: Array, scale: Array, bias: Array, eps: float,
+                out_dtype=None) -> Array:
+    """LayerNorm with float32 statistics; `out_dtype` controls the dtype the
+    residual stream is carried in (bfloat16 halves the HBM traffic of the
+    per-layer stashes the backward pass reads — LN stats stay exact)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     out = (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
-    return out
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def _dense(x: Array, w: Array, b: Array, dtype, out_dtype=None) -> Array:
@@ -122,6 +133,9 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     B, S, H = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     dt = cfg.compute_dtype
+    # Residual stream dtype: bf16 when computing in bf16 (fp32 parity mode
+    # keeps fp32 end-to-end). Residual adds + LN stats still happen in fp32.
+    res_dt = None if dt == jnp.float32 else dt
 
     q = _dense(x, lp["q_w"], lp["q_b"], dt, dt).reshape(B, S, nh, hd)
     k = _dense(x, lp["k_w"], lp["k_b"], dt, dt).reshape(B, S, nh, hd)
@@ -145,7 +159,7 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
                                     attn_out.shape)
         attn_out = jnp.where(keep, attn_out / (1.0 - dropout_rate), 0.0)
     x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
-                    cfg.layer_norm_eps)
+                    cfg.layer_norm_eps, out_dtype=res_dt)
 
     ffn = _dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt, dt)
     ffn = jax.nn.gelu(ffn, approximate=False)
@@ -154,7 +168,7 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
         keep = jax.random.bernoulli(dropout_rngs[2], 1.0 - dropout_rate, ffn.shape)
         ffn = jnp.where(keep, ffn / (1.0 - dropout_rate), 0.0)
     x = _layer_norm(x + ffn, lp["ffn_ln_scale"], lp["ffn_ln_bias"],
-                    cfg.layer_norm_eps)
+                    cfg.layer_norm_eps, out_dtype=res_dt)
     return x
 
 
@@ -167,7 +181,8 @@ def bert_encode(
     deterministic: bool = True,
     dropout_rng: Array | None = None,
 ) -> Array:
-    """Run the BERT encoder. Returns last hidden states (B, S, H) float32.
+    """Run the BERT encoder. Returns last hidden states (B, S, H) in the
+    residual dtype: float32 in fp32 parity mode, compute_dtype otherwise.
 
     attention_mask: (B, S) with 1 for real tokens, 0 for padding (None = all
     ones). Matches HF semantics: additive -10000 bias on padded keys.
@@ -175,20 +190,41 @@ def bert_encode(
     B, S = input_ids.shape
     emb = params["embeddings"]
 
+    res_dt = None if cfg.compute_dtype == jnp.float32 else cfg.compute_dtype
     x = emb["word"][input_ids]
     x = x + emb["position"][:S][None, :, :]
     x = x + emb["token_type"][0][None, None, :]  # BLP always uses segment 0
-    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps,
+                    out_dtype=res_dt)
 
+    pack = cfg.seq_pack
+    if pack == "auto":
+        pack = next((p for p in (4, 2) if B % p == 0 and p * S <= 128), 1)
     if attention_mask is None:
-        mask_bias = jnp.zeros((B, 1, 1, S), jnp.float32)
+        key_mask = jnp.ones((B, S), jnp.float32)
     else:
-        mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -10000.0
+        key_mask = attention_mask.astype(jnp.float32)
+    if pack > 1:
+        # Fold `pack` sequences into one row (free reshape: row-major layout)
+        # with a block-diagonal bias so attention stays within each sequence.
+        Bp, Sp = B // pack, pack * S
+        x = x.reshape(Bp, Sp, x.shape[-1])
+        same_block = jnp.equal(jnp.arange(Sp)[:, None] // S,
+                               jnp.arange(Sp)[None, :] // S)
+        visible = same_block[None] & (key_mask.reshape(Bp, Sp)[:, None, :] > 0)
+        mask_bias = jnp.where(visible, 0.0, -10000.0)[:, None, :, :]
+    else:
+        mask_bias = (1.0 - key_mask)[:, None, None, :] * -10000.0
 
     dropout_rate = 0.0 if deterministic else cfg.hidden_dropout
     if not deterministic:
         if dropout_rng is None:
             raise ValueError("dropout_rng required when deterministic=False")
+        # Dropout draws ~200M bits/step; threefry2x32 runs on the VPU and
+        # costs ~10ms/step at B=128 on v5e. Re-key the dropout stream onto the
+        # hardware RNG (rbg) — ~3x cheaper, still deterministic per input key.
+        dropout_rng = jax.random.wrap_key_data(
+            jax.random.bits(dropout_rng, (4,), jnp.uint32), impl="rbg")
         keep = jax.random.bernoulli(jax.random.fold_in(dropout_rng, 0),
                                     1.0 - dropout_rate, x.shape)
         x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
@@ -207,11 +243,16 @@ def bert_encode(
         return out, None
 
     if cfg.remat:
-        body = jax.checkpoint(body)
+        # remat=True: full per-layer rematerialisation (min memory).
+        # remat="dots": save matmul outputs, recompute elementwise (gelu,
+        # dropout, LN, softmax) in the backward — cuts the per-layer stash.
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if cfg.remat == "dots" else None)
+        body = jax.checkpoint(body, policy=policy)
 
     scanned = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)
     x, _ = jax.lax.scan(body, x, scanned)
-    return x
+    return x.reshape(B, S, x.shape[-1]) if pack > 1 else x
 
 
 def bert_pooler(params: dict, hidden: Array, cfg: BertConfig) -> Array:
