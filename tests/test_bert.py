@@ -100,3 +100,63 @@ def test_dropout_determinism_flags():
                          dropout_rng=jax.random.key(2))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_seq_packing_exact_vs_unpacked():
+    """Packed attention (block-diagonal bias over folded sequences) must be
+    numerically equivalent to per-sequence attention: the -10000 cross-block
+    bias underflows to exactly 0 in the fp32 softmax."""
+    import dataclasses
+
+    cfg = bert.BertConfig.tiny(num_heads=4, max_position_embeddings=64)
+    params = bert.init_bert_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    B, S = 8, 16
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, S)))
+    lens = rng.integers(3, S + 1, B)
+    mask = jnp.asarray((np.arange(S)[None, :] < lens[:, None]).astype(np.float32))
+
+    packed = bert.bert_encode(params, ids, mask,
+                              dataclasses.replace(cfg, seq_pack="auto"))
+    unpacked = bert.bert_encode(params, ids, mask,
+                                dataclasses.replace(cfg, seq_pack=1))
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(unpacked),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_seq_packing_auto_skips_indivisible_batch():
+    cfg = bert.BertConfig.tiny(num_heads=4, max_position_embeddings=64)
+    params = bert.init_bert_params(jax.random.key(0), cfg)
+    ids = jnp.ones((3, 16), jnp.int32)  # B=3: no pack divides it
+    out = bert.bert_encode(params, ids, None, cfg)
+    assert out.shape == (3, 16, cfg.hidden_size)
+
+
+def test_remat_variants_match():
+    """remat=True / "dots" recompute must give the same gradients. Uses a
+    well-conditioned regression loss with random ids — degenerate losses
+    (e.g. sum of squared LN outputs with identical tokens) have near-zero
+    gradients where reassociation noise dominates any comparison."""
+    import dataclasses
+
+    base = bert.BertConfig.tiny(num_heads=4)
+    params = bert.init_bert_params(jax.random.key(0), base)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, base.vocab_size, (4, 8)))
+    tgt = jnp.asarray(rng.standard_normal((4, 8, 32)).astype(np.float32))
+
+    def loss(p, cfg):
+        return jnp.mean((bert.bert_encode(p, ids, None, cfg) - tgt) ** 2)
+
+    ref = jax.grad(loss)(params, dataclasses.replace(base, remat=False))
+    for remat in (True, "dots"):
+        g = jax.grad(loss)(params, dataclasses.replace(base, remat=remat))
+
+        def check(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            if np.linalg.norm(a) < 1e-5 and np.linalg.norm(b) < 1e-5:
+                return  # mathematically-zero grads (e.g. k_b: softmax is
+                # shift-invariant along keys) are float noise in both
+            assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-4
+
+        jax.tree.map(check, ref, g)
