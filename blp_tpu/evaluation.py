@@ -143,10 +143,13 @@ def _mesh_rank_batch(mesh, rel_model: str, tile: int):
 
 
 def _use_pallas_default(rel_model: str, dim: int) -> bool:
-    """The fused Pallas kernel serves TransE (non-matmul scorer) on real TPU;
-    bilinear scorers already ride the MXU via the dual-vector matmul."""
-    return (rel_model == "transe" and jax.default_backend() == "tpu"
-            and dim % 128 == 0)
+    """Default OFF. Measured at Wikidata5M scale on v5e (4.8M candidates,
+    B=64, tile=32768) the XLA broadcast-L1 fusion ranks in 95 ms/pass — about
+    two thirds of VPU speed-of-light — while the Pallas kernel
+    (ops/pallas_ranking.py) takes 184 ms: its per-row loop and O(B*F*tile)
+    filter-mask rebuild lose to XLA's fused elementwise+reduce. The kernel
+    remains available (use_pallas=True) and correctness-tested."""
+    return False
 
 
 @functools.partial(jax.jit, static_argnames=("rel_model", "tile", "use_pallas"))
@@ -200,7 +203,7 @@ def eval_link_prediction(
     *,
     batch_size: int = 64,
     emb_batch_size: int = 512,
-    tile: int = 4096,
+    tile: int = 65536,
     filter_index: FilterIndex | None = None,
     new_entities: np.ndarray | None = None,
     rel_categories: np.ndarray | None = None,

@@ -1,11 +1,18 @@
 """Pallas TPU kernel: fused TransE rank-vs-all scoring + tie-aware counting.
 
 The bilinear scorers ride the MXU as one matmul per tile (ops/ranking.py);
-TransE's L1 distance cannot, so its XLA path materializes (B, tile) broadcast
-intermediates in HBM between scoring and counting. This kernel fuses the
-whole pipeline on-chip: the candidate table streams HBM -> VMEM tile by tile
-(Pallas double-buffers the grid automatically), scores are formed and reduced
-to the four count accumulators without ever leaving VMEM.
+TransE's L1 distance cannot. This kernel fuses score + count on-chip: the
+candidate table streams HBM -> VMEM tile by tile (Pallas double-buffers the
+grid automatically), scores are formed and reduced to the four count
+accumulators without ever leaving VMEM.
+
+STATUS — not the default path. Measured at Wikidata5M scale on v5e
+(N=4.8M, B=64, d=128) XLA's fused broadcast-L1 + reduce runs at ~68% of
+fp32 VPU speed-of-light (95 ms/pass) and beats this kernel (184 ms): the
+per-batch-row fori_loop and the O(B*F*tile) filter-mask rebuild dominate.
+Kept as a correctness-tested reference implementation and dispatchable via
+use_pallas=True (evaluation.py); a competitive version needs a
+(d, tile)-transposed table layout and batch-vectorized scoring.
 
 Exactness contract (same as ops/ranking.py): the true entity and filtered
 known-true answers are excluded POSITIONALLY — the filter correction reads the

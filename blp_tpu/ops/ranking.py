@@ -107,7 +107,7 @@ def tiled_rank_counts(
     *,
     rel_model: str,
     corrupt: str,
-    tile: int = 4096,
+    tile: int = 65536,
 ):
     """Stream over the candidate table accumulating tie-aware rank counts.
 

@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--tile", type=int, default=8192)
+    ap.add_argument("--tile", type=int, default=65536)
     ap.add_argument("--rel-model", default="transe")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
