@@ -5,8 +5,20 @@ Training scores only the observed edge and its K sampled corruptions
 materializes the gathered (B, K, d) negative-embedding tensors in HBM
 (2*B*K*d floats); this kernel keeps the whole (2B, d) entity matrix resident
 in VMEM (in-batch entities are small: B=1024, d=128 -> 1 MB) and gathers rows
-on-chip, emitting (B, 1+K) scores directly. For text encoders the encoder
-dominates and XLA is fine; for the transductive model this IS the hot path.
+on-chip, emitting (B, 1) positive and (B, K) negative scores directly.
+
+STATUS — not the default path (blp.ModelConfig.sddmm_pallas=False). On v5e
+the XLA formulation's (B, K, d) HBM gather is ~66 MB at B=1024/K=64/d=128,
+well under a millisecond at HBM bandwidth, and the transductive train step is
+dominated by the optimizer update and dispatch; the kernel's on-chip gather
+(row-at-a-time dynamic sublane slices) is serial and does not beat it. Kept
+as a correctness-tested reference for SDDMM-style fusion.
+
+TPU lowering notes (why the kernel is shaped this way): the negative-index
+matrices live in SMEM — scalar reads of dynamic positions from VMEM vector
+refs do not lower (Mosaic requires lane indices provably aligned to 128);
+positive and negative scores are separate outputs because a (b, 1+K) store
+at lane offset 1 is similarly unaligned.
 
 Gradients: jax.custom_vjp — forward runs the kernel, backward runs the VJP of
 the XLA reference formulation (bit-compatible math, guaranteed-correct
@@ -31,13 +43,14 @@ def _score_rows(heads, tails, rels, rel_model: str):
 
 
 def _make_kernel(rel_model: str, block_b: int, K: int):
-    def kernel(ent_ref, rel_ref, negh_ref, negt_ref, out_ref, h_scratch,
-               t_scratch):
+    def kernel(negh_ref, negt_ref, ent_ref, rel_ref, pos_ref, neg_ref,
+               h_scratch, t_scratch):
         """One grid step scores `block_b` edges.
 
+        negh_ref/negt_ref: (block_b, K) int32 (SMEM)
         ent_ref: (2B, d) whole in-batch entity matrix (VMEM)
-        rel_ref: (block_b, d); negh_ref/negt_ref: (block_b, K) int32
-        out_ref: (block_b, 1 + K) — column 0 positives, then negatives
+        rel_ref: (block_b, d) (VMEM)
+        pos_ref: (block_b, 1); neg_ref: (block_b, K)
         h_scratch/t_scratch: (K, d) VMEM row-gather staging
         """
         base = pl.program_id(0) * block_b
@@ -47,8 +60,7 @@ def _make_kernel(rel_model: str, block_b: int, K: int):
             rel = rel_ref[r, :][None, :]                    # (1, d)
             head = ent_ref[pl.ds(2 * row, 1), :]            # (1, d)
             tail = ent_ref[pl.ds(2 * row + 1, 1), :]
-            pos = _score_rows(head, tail, rel, rel_model)   # (1, 1)
-            out_ref[pl.ds(r, 1), pl.ds(0, 1)] = pos
+            pos_ref[pl.ds(r, 1), :] = _score_rows(head, tail, rel, rel_model)
 
             def gather(k, _):
                 h_scratch[pl.ds(k, 1), :] = ent_ref[pl.ds(negh_ref[r, k], 1), :]
@@ -56,9 +68,8 @@ def _make_kernel(rel_model: str, block_b: int, K: int):
                 return 0
 
             jax.lax.fori_loop(0, K, gather, 0)
-            neg = _score_rows(h_scratch[:, :], t_scratch[:, :],
-                              rel, rel_model)               # (1, K)
-            out_ref[pl.ds(r, 1), pl.ds(1, K)] = neg
+            neg_ref[pl.ds(r, 1), :] = _score_rows(
+                h_scratch[:, :], t_scratch[:, :], rel, rel_model)  # (1, K)
             return 0
 
         jax.lax.fori_loop(0, block_b, per_row, 0)
@@ -74,28 +85,33 @@ def _sddmm_pallas(ent_flat, rel_emb, neg_idx, *, rel_model: str,
     if B % block_b != 0:
         raise ValueError(f"batch {B} must divide block_b {block_b}")
 
-    out = pl.pallas_call(
+    pos, neg = pl.pallas_call(
         _make_kernel(rel_model, block_b, K),
         grid=(grid_b,),
         in_specs=[
+            pl.BlockSpec((block_b, K), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, K), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(ent_flat.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, K), lambda i: (i, 0),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, 1 + K), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1 + K), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, K), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((K, d), jnp.float32),
                         pltpu.VMEM((K, d), jnp.float32)],
         interpret=interpret,
-    )(ent_flat.astype(jnp.float32), rel_emb.astype(jnp.float32),
-      neg_idx[..., 0].astype(jnp.int32), neg_idx[..., 1].astype(jnp.int32))
-    return out[:, :1], out[:, 1:]
+    )(neg_idx[..., 0].astype(jnp.int32), neg_idx[..., 1].astype(jnp.int32),
+      ent_flat.astype(jnp.float32), rel_emb.astype(jnp.float32))
+    return pos, neg
 
 
 def _sddmm_xla(ent_flat, rel_emb, neg_idx, *, rel_model: str):
