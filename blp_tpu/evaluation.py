@@ -177,9 +177,12 @@ def _rank_batch(
         if use_pallas:
             from blp_tpu.ops import pallas_ranking
 
+            # The kernel's in-VMEM filter mask bounds its tile (see
+            # ops/pallas_ranking.py); table padding (a multiple of `tile`)
+            # stays compatible since 8192 divides the default tile.
             c = pallas_ranking.transe_tiled_rank_counts(
                 table, fixed_emb, rel_emb, true_scores, own_pos, filt,
-                num_valid, corrupt=corrupt, tile=tile)
+                num_valid, corrupt=corrupt, tile=min(tile, 8192))
         else:
             c = ranking.tiled_rank_counts(
                 table, fixed_emb, rel_emb, true_scores, own_pos, filt, num_valid,

@@ -114,6 +114,10 @@ def transe_tiled_rank_counts(
     n_pad, d = table.shape
     if n_pad % tile != 0:
         raise ValueError(f"table rows {n_pad} not a multiple of tile {tile}")
+    if tile > 16384:
+        # The in-kernel (F, tile) filter-mask broadcast exhausts VMEM beyond
+        # this; the XLA path (ops/ranking.py, the default) handles any tile.
+        raise ValueError(f"pallas ranking kernel supports tile <= 16384, got {tile}")
     b = fixed_emb.shape[0]
 
     if corrupt == "head":
