@@ -30,6 +30,7 @@ def write_synth_dataset(
     desc_words: tuple[int, int] = (4, 12),
     inductive_frac: float = 0.2,
     seed: int = 0,
+    num_types: int = 0,
 ) -> str:
     """Write a synthetic dataset under `directory` and return it.
 
@@ -37,9 +38,28 @@ def write_synth_dataset(
     split of edges), ind-train/dev/test.tsv + {split}-ents.txt (inductive
     entity split), entity2text.txt, vocab.txt, relations-cat.txt, and
     {split}-ents-class.txt (node-classification labels).
+
+    num_types > 0 switches to a LEARNABLE task: each entity gets a type,
+    its description leads with that type's word, and relation r only links
+    (head_type_r -> tail_type_r) pairs. A text encoder that reads the type
+    word can then rank type-consistent candidates above the rest, so test
+    MRR must clear the random baseline by a wide margin — used by the
+    learnability tests. Node-class labels become the type.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(directory, exist_ok=True)
+    types = (rng.integers(num_types, size=num_entities)
+             if num_types > 0 else None)
+    # Relation r links only heads of type ht[r] to tails of type tt[r].
+    if num_types > 0:
+        rel_head_type = rng.integers(num_types, size=num_relations)
+        rel_tail_type = rng.integers(num_types, size=num_relations)
+        by_type = [np.flatnonzero(types == c) for c in range(num_types)]
+        # every type must be inhabited
+        for c in range(num_types):
+            if len(by_type[c]) == 0:
+                types[int(rng.integers(num_entities))] = c
+                by_type = [np.flatnonzero(types == c) for c in range(num_types)]
 
     ents = [f"ent_{i:04d}" for i in range(num_entities)]
     rels = [f"rel_{i}" for i in range(num_relations)]
@@ -48,23 +68,41 @@ def write_synth_dataset(
     with open(osp.join(directory, "relations.txt"), "w") as f:
         f.write("\n".join(rels) + "\n")
 
-    # Random connected-ish multigraph: ring backbone + random edges.
-    edges = set()
-    for i in range(num_entities):
-        edges.add((i, (i + 1) % num_entities, int(rng.integers(num_relations))))
-    while len(edges) < num_triples:
-        h, t = rng.integers(num_entities, size=2)
-        if h == t:
-            continue
-        edges.add((int(h), int(t), int(rng.integers(num_relations))))
+    if types is None:
+        # Random connected-ish multigraph: ring backbone + random edges.
+        edges = set()
+        for i in range(num_entities):
+            edges.add((i, (i + 1) % num_entities, int(rng.integers(num_relations))))
+        while len(edges) < num_triples:
+            h, t = rng.integers(num_entities, size=2)
+            if h == t:
+                continue
+            edges.add((int(h), int(t), int(rng.integers(num_relations))))
+    else:
+        # Type-consistent edges only (plus a ring over each type's members
+        # via relation 0's pair so no entity is isolated in-type).
+        edges = set()
+        tries = 0
+        while len(edges) < num_triples and tries < num_triples * 50:
+            tries += 1
+            r = int(rng.integers(num_relations))
+            hs = by_type[rel_head_type[r]]
+            ts_ = by_type[rel_tail_type[r]]
+            h = int(hs[rng.integers(len(hs))])
+            t = int(ts_[rng.integers(len(ts_))])
+            if h != t:
+                edges.add((h, t, r))
     edges = sorted(edges)
     rng.shuffle(edges)
 
-    # Descriptions + vocab.
+    # Descriptions + vocab. In typed mode the first word names the type.
+    type_words = _WORDS[: num_types] if types is not None else []
     with open(osp.join(directory, "entity2text.txt"), "w") as f:
         for i, e in enumerate(ents):
             n = int(rng.integers(desc_words[0], desc_words[1] + 1))
             words = [_WORDS[int(w)] for w in rng.integers(len(_WORDS), size=n)]
+            if types is not None:
+                words = [type_words[types[i]]] + words
             f.write(f"{e}\t{' '.join(words)}.\n")
 
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "."] + _WORDS
@@ -118,11 +156,13 @@ def write_synth_dataset(
         for i, r in enumerate(rels):
             f.write(f"{r}\t{cats[i % 4]}\n")
 
-    # Node-classification labels (3 classes by entity id band).
+    # Node-classification labels: the type in typed mode (learnable), else
+    # 3 classes by entity id band.
     for name, eset in (("train", train_ents), ("dev", sorted(dev_ents)),
                        ("test", sorted(test_ents))):
         with open(osp.join(directory, f"{name}-ents-class.txt"), "w") as f:
             for i in eset:
-                f.write(f"{ents[i]}\tclass_{i % 3}\n")
+                label = int(types[i]) if types is not None else i % 3
+                f.write(f"{ents[i]}\tclass_{label}\n")
 
     return directory

@@ -1,0 +1,63 @@
+"""Learnability: training must beat the random-ranking baseline by a wide
+margin on a structured task, not merely produce MRR > 0.
+
+The typed synthetic task (data/synth.py, num_types>0): descriptions lead
+with a type word and relation r only links (head_type_r -> tail_type_r).
+An inductive text encoder that reads the type word can rank the ~N/T
+type-consistent candidates above the rest; a transductive model can learn
+the same structure from the graph alone. Random ranking over N candidates
+gives E[MRR] = H(N)/N (~0.05 at N=90), while type-aware ranking yields
+roughly H(N/T)/(N/T) (several times larger)."""
+
+import numpy as np
+import pytest
+
+from blp_tpu import train as train_mod
+from blp_tpu.config import ExperimentConfig
+from blp_tpu.data import synth
+
+
+def _random_mrr(n: int) -> float:
+    return float(np.mean(1.0 / np.arange(1, n + 1)))
+
+
+@pytest.fixture(scope="module")
+def typed_dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("typed") / "typed-synth"
+    synth.write_synth_dataset(
+        str(d), num_entities=90, num_relations=6, num_triples=700,
+        num_types=5, inductive_frac=0.2, seed=7)
+    return d
+
+
+def test_inductive_text_model_learns(typed_dataset, tmp_path):
+    cfg = ExperimentConfig(
+        dataset=typed_dataset.name, data_dir=str(typed_dataset.parent),
+        out_dir=str(tmp_path / "out"), inductive=True, model="bert-bow",
+        encoder_name="tiny", rel_model="distmult", loss_fn="nll", dim=32,
+        max_len=16, num_negatives=16, lr=5e-2, use_scheduler=False,
+        batch_size=32, emb_batch_size=64, eval_batch_size=32, max_epochs=30,
+        tile=64, run_id="learn-ind", seed=0)
+    result = train_mod.link_prediction(cfg)
+
+    n_candidates = 90
+    baseline = _random_mrr(n_candidates)
+    # Ceiling: perfect type-aware ranking leaves ~N/T=18 indistinguishable
+    # candidates -> MRR ~ H(18)/18 ~ 0.19; require half the gap to it.
+    assert result["test_mrr"] > 2.5 * baseline, (
+        f"inductive MRR {result['test_mrr']:.3f} vs random {baseline:.3f}")
+
+
+def test_transductive_model_learns(typed_dataset, tmp_path):
+    cfg = ExperimentConfig(
+        dataset=typed_dataset.name, data_dir=str(typed_dataset.parent),
+        out_dir=str(tmp_path / "out"), inductive=False, model="transductive",
+        rel_model="distmult", loss_fn="nll", dim=32, num_negatives=16,
+        lr=5e-2, use_scheduler=False, batch_size=32, emb_batch_size=64,
+        eval_batch_size=32, max_epochs=40, tile=64, run_id="learn-trans",
+        seed=0)
+    result = train_mod.link_prediction(cfg)
+
+    baseline = _random_mrr(90)
+    assert result["test_mrr"] > 2.5 * baseline, (
+        f"transductive MRR {result['test_mrr']:.3f} vs random {baseline:.3f}")
