@@ -137,9 +137,12 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     # keeps fp32 end-to-end). Residual adds + LN stats still happen in fp32.
     res_dt = None if dt == jnp.float32 else dt
 
+    from jax.ad_checkpoint import checkpoint_name
+
     q = _dense(x, lp["q_w"], lp["q_b"], dt, dt).reshape(B, S, nh, hd)
     k = _dense(x, lp["k_w"], lp["k_b"], dt, dt).reshape(B, S, nh, hd)
     v = _dense(x, lp["v_w"], lp["v_b"], dt, dt).reshape(B, S, nh, hd)
+    q, k, v = (checkpoint_name(t, n) for t, n in ((q, "q"), (k, "k"), (v, "v")))
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt), k.astype(dt),
                         preferred_element_type=jnp.float32)
@@ -151,7 +154,7 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
         probs = jnp.where(keep, probs / (1.0 - cfg.attention_dropout), 0.0)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v.astype(dt),
                      preferred_element_type=jnp.float32)
-    ctx = ctx.reshape(B, S, H)
+    ctx = checkpoint_name(ctx.reshape(B, S, H), "ctx")
 
     attn_out = _dense(ctx, lp["attn_out_w"], lp["attn_out_b"], dt)
     if dropout_rngs is not None and dropout_rate > 0.0:
@@ -161,7 +164,8 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
                     cfg.layer_norm_eps, out_dtype=res_dt)
 
-    ffn = _dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt, dt)
+    ffn = checkpoint_name(_dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt, dt),
+                          "ffn_pre")
     ffn = jax.nn.gelu(ffn, approximate=False)
     ffn = _dense(ffn, lp["ffn_out_w"], lp["ffn_out_b"], dt)
     if dropout_rngs is not None and dropout_rate > 0.0:
@@ -246,8 +250,19 @@ def bert_encode(
         # remat=True: full per-layer rematerialisation (min memory).
         # remat="dots": save matmul outputs, recompute elementwise (gelu,
         # dropout, LN, softmax) in the backward — cuts the per-layer stash.
-        policy = (jax.checkpoint_policies.dots_saveable
-                  if cfg.remat == "dots" else None)
+        # remat="names": save only the tagged expensive-to-recompute
+        # activations (ffn_pre, ctx, q/k/v); recompute the rest.
+        # Measured on v5e, flagship step (B=128, L=32, bf16): False 62.7ms,
+        # True 61.4ms, "names" 69.1ms, "dots" 73.6ms — XLA's default stash
+        # choice and full recompute are the two good points; True also
+        # minimizes HBM (needed for B>=512).
+        if cfg.remat == "dots":
+            policy = jax.checkpoint_policies.dots_saveable
+        elif cfg.remat == "names":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "ffn_pre", "ctx", "q", "k", "v")
+        else:
+            policy = None
         body = jax.checkpoint(body, policy=policy)
 
     scanned = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)

@@ -149,7 +149,7 @@ def test_remat_variants_match():
         return jnp.mean((bert.bert_encode(p, ids, None, cfg) - tgt) ** 2)
 
     ref = jax.grad(loss)(params, dataclasses.replace(base, remat=False))
-    for remat in (True, "dots"):
+    for remat in (True, "dots", "names"):
         g = jax.grad(loss)(params, dataclasses.replace(base, remat=remat))
 
         def check(a, b):
