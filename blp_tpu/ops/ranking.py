@@ -155,3 +155,49 @@ def tiled_rank_counts(
     (gt, geq, fgt, fgeq), _ = jax.lax.scan(
         body, (zeros, zeros, zeros, zeros), jnp.arange(n_tiles))
     return {"gt": gt, "geq": geq, "fgt": fgt, "fgeq": fgeq}
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rel_model", "corrupt", "tile"))
+def tiled_top_k(
+    table: Array,
+    fixed_emb: Array,
+    rel_emb: Array,
+    num_valid: Array,
+    *,
+    k: int,
+    rel_model: str,
+    corrupt: str,
+    tile: int = 65536,
+):
+    """Streaming top-k candidates per query — the serving-path counterpart of
+    tiled_rank_counts. Scans the candidate table in (tile, d) blocks, takes
+    the in-tile top-k on-device, and merges with the running best via a
+    (B, 2k) top-k — peak memory O(B * (tile + k)), never (B, N).
+
+    Returns (scores (B, k) float32 desc-sorted, ids (B, k) int32 global
+    columns). Padding columns (>= num_valid) are excluded.
+    """
+    n_pad, d = table.shape
+    b = fixed_emb.shape[0]
+    n_tiles = n_pad // tile
+
+    def body(carry, tile_idx):
+        best_s, best_i = carry
+        start = tile_idx * tile
+        tile_emb = jax.lax.dynamic_slice(table, (start, 0), (tile, d))
+        s = score_tile(tile_emb, fixed_emb, rel_emb,
+                       rel_model=rel_model, corrupt=corrupt)  # (B, tile)
+        cols = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        s = jnp.where(cols < num_valid, s, -jnp.inf)
+        ts, ti = jax.lax.top_k(s, k)                          # (B, k)
+        ti = jnp.take_along_axis(jnp.broadcast_to(cols, (b, tile)), ti, axis=1)
+        merged_s = jnp.concatenate([best_s, ts], axis=1)      # (B, 2k)
+        merged_i = jnp.concatenate([best_i, ti], axis=1)
+        ms, mi = jax.lax.top_k(merged_s, k)
+        best_i = jnp.take_along_axis(merged_i, mi, axis=1)
+        return (ms, best_i), None
+
+    init = (jnp.full((b, k), -jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32))
+    (scores, ids), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+    return scores, ids

@@ -1,0 +1,182 @@
+"""Serving: load a trained model and answer link-prediction queries.
+
+A capability beyond the reference (which only evaluates benchmarks): given a
+checkpoint, serve top-k tail (or head) predictions for (head, relation)
+queries over a candidate entity universe, TPU-native — the candidate table is
+encoded once (or loaded from an `ent_emb-*.npz` export), queries run as one
+jitted streaming top-k per batch (ops/ranking.py::tiled_top_k, never
+materializing (B, N) scores), and ad-hoc entities can be encoded from raw
+description text (the inductive setting's whole point: reference
+README.md:15-25).
+
+Usage (library):
+    srv = LinkPredictor.from_checkpoint("output/model-X.npz", mcfg,
+                                        tokenizer=tok)
+    srv.set_candidates_from_texts(ids, texts)        # or .set_candidates(table, ids)
+    scores, ents = srv.predict_tails(head_texts=["..."], rels=[3], k=10)
+
+CLI demo over a packed dataset:
+    python -m blp_tpu.serve checkpoint=... dataset=... rel_model=... model=...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blp_tpu import checkpoint as ckpt
+from blp_tpu.models import blp
+from blp_tpu.ops import ranking
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _encode_fn(params, cfg: blp.ModelConfig, tok, mask):
+    # ModelConfig is frozen/hashable: one compile per config, params stay a
+    # runtime argument (never baked into the compile payload).
+    return blp.encode(params, cfg, tok, mask, deterministic=True)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class LinkPredictor:
+    params: dict
+    cfg: blp.ModelConfig
+    tokenizer: object | None = None
+    max_len: int = 32
+    tile: int = 65536
+    # candidate state
+    _table: jax.Array | None = None          # (Np, d) padded
+    _num_valid: int = 0
+    _candidate_ids: np.ndarray | None = None  # (N,) external ids
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: blp.ModelConfig, *,
+                        tokenizer=None, max_len: int = 32,
+                        tile: int = 65536) -> "LinkPredictor":
+        template = blp.init_params(jax.random.key(0), cfg)
+        params, _ = ckpt.load_pytree(path, template=template)
+        return cls(params=params, cfg=cfg, tokenizer=tokenizer,
+                   max_len=max_len, tile=tile)
+
+    # -- encoding ------------------------------------------------------------
+
+    def embed_texts(self, texts: list[str]) -> jax.Array:
+        """Encode raw description texts into entity embeddings (B, d)."""
+        if self.tokenizer is None:
+            raise ValueError("a tokenizer is required to embed raw text")
+        tok, mask = self.tokenizer.batch_encode(texts, self.max_len)
+        return self._encode(self.params, jnp.asarray(tok), jnp.asarray(mask))
+
+    def _encode(self, params, tok, mask):
+        return _encode_fn(params, self.cfg, tok, mask)
+
+    # -- candidate universe ----------------------------------------------------
+
+    def set_candidates(self, table, ids=None) -> None:
+        """Install a precomputed (N, d) candidate table (e.g. a training
+        run's ent_emb-*.npz export)."""
+        table = jnp.asarray(table, jnp.float32)
+        n = int(table.shape[0])
+        n_pad = _round_up(max(n, 1), self.tile)
+        if n_pad > n:
+            table = jnp.pad(table, ((0, n_pad - n), (0, 0)))
+        self._table = jax.device_put(table)
+        self._num_valid = n
+        self._candidate_ids = (np.asarray(ids) if ids is not None
+                               else np.arange(n))
+
+    def set_candidates_from_texts(self, ids, texts: list[str],
+                                  batch_size: int = 512) -> None:
+        chunks = []
+        for s in range(0, len(texts), batch_size):
+            chunk = texts[s : s + batch_size]
+            pad = batch_size - len(chunk)
+            tok, mask = self.tokenizer.batch_encode(
+                chunk + [""] * pad, self.max_len)
+            mask[len(chunk):, 0] = 1.0
+            chunks.append(self._encode(self.params, jnp.asarray(tok),
+                                       jnp.asarray(mask))[: len(chunk)])
+        self.set_candidates(jnp.concatenate(chunks, axis=0), ids)
+
+    # -- queries ---------------------------------------------------------------
+
+    def _topk(self, fixed: jax.Array, rels, k: int, corrupt: str):
+        if self._table is None:
+            raise ValueError("no candidate table installed")
+        rel_emb = self.params["rel_emb"][jnp.asarray(rels, jnp.int32)]
+        scores, cols = ranking.tiled_top_k(
+            self._table, fixed, rel_emb,
+            jnp.asarray(self._num_valid, jnp.int32),
+            k=k, rel_model=self.cfg.rel_model, corrupt=corrupt,
+            tile=min(self.tile, self._table.shape[0]))
+        cols = np.asarray(cols)
+        ents = np.where(cols >= 0, self._candidate_ids[np.clip(cols, 0, None)],
+                        -1)
+        return np.asarray(scores), ents
+
+    def predict_tails(self, *, rels, head_texts=None, head_emb=None,
+                      k: int = 10):
+        """Top-k tail candidates for (head, rel, ?). Heads given as raw
+        description texts (inductive) or precomputed embeddings (B, d)."""
+        fixed = (self.embed_texts(head_texts) if head_texts is not None
+                 else jnp.asarray(head_emb, jnp.float32))
+        return self._topk(fixed, rels, k, corrupt="tail")
+
+    def predict_heads(self, *, rels, tail_texts=None, tail_emb=None,
+                      k: int = 10):
+        """Top-k head candidates for (?, rel, tail)."""
+        fixed = (self.embed_texts(tail_texts) if tail_texts is not None
+                 else jnp.asarray(tail_emb, jnp.float32))
+        return self._topk(fixed, rels, k, corrupt="head")
+
+
+def main(argv=None):
+    """CLI demo: load a checkpoint + dataset, build the candidate table, and
+    answer a few queries from the test split."""
+    import sys
+
+    from blp_tpu import train as train_mod
+    from blp_tpu.config import ExperimentConfig, parse_overrides
+    from blp_tpu.data.datasets import GraphData, TextGraphData
+
+    args = argv if argv is not None else sys.argv[1:]
+    cfg = parse_overrides([a for a in args if "=" in a or a == "with"])
+    tokenizer = train_mod.make_tokenizer(cfg)
+    text = TextGraphData.load(
+        cfg.triples_file("train"), tokenizer=tokenizer, max_len=cfg.max_len,
+        write_maps=True, use_cached_text=cfg.use_cached_text)
+    test = GraphData.load(cfg.triples_file("test"))
+    mcfg = train_mod.make_model_config(cfg, tokenizer, len(text.rel_ids),
+                                       len(text.ent_ids))
+    srv = LinkPredictor.from_checkpoint(cfg.checkpoint, mcfg,
+                                        tokenizer=tokenizer,
+                                        max_len=cfg.max_len, tile=cfg.tile)
+    # Candidate universe: every entity with a description, encoded in chunks.
+    ents = np.arange(len(text.ent_ids))
+    chunks = []
+    for s in range(0, len(ents), cfg.emb_batch_size):
+        tok, mask = text.get_entity_descriptions(ents[s : s + cfg.emb_batch_size])
+        chunks.append(srv._encode(srv.params, jnp.asarray(tok), jnp.asarray(mask)))
+    table = jnp.concatenate(chunks, axis=0)
+    srv.set_candidates(table, ents)
+
+    ent_name = {v: k for k, v in text.ent_ids.items()}
+    rel_name = {v: k for k, v in text.rel_ids.items()}
+    q = test.triples[:4]  # (T, 3) [head, tail, rel]
+    scores, pred = srv.predict_tails(
+        head_emb=np.asarray(table)[q[:, 0]], rels=q[:, 2], k=5)
+    for i, (h, t, r) in enumerate(q):
+        names = [ent_name.get(int(e), "?") for e in pred[i]]
+        print(f"({ent_name[int(h)]}, {rel_name[int(r)]}, ?) -> {names}  "
+              f"true={ent_name[int(t)]}  scores={np.round(scores[i], 3).tolist()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Serving path: streaming tiled top-k parity vs brute force, and the
+LinkPredictor query API."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blp_tpu import serve
+from blp_tpu.models import blp, scoring
+from blp_tpu.ops import ranking
+
+
+@pytest.mark.parametrize("rel_model", ["transe", "distmult", "complex", "simple"])
+@pytest.mark.parametrize("corrupt", ["head", "tail"])
+def test_tiled_top_k_matches_bruteforce(rel_model, corrupt):
+    rng = np.random.default_rng(0)
+    N, d, B, k, tile = 50, 8, 6, 5, 16
+    n_pad = 64
+    table = np.zeros((n_pad, d), np.float32)
+    table[:N] = rng.standard_normal((N, d)).astype(np.float32)
+    fixed = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    rel = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+
+    scores, ids = ranking.tiled_top_k(
+        jnp.asarray(table), fixed, rel, jnp.asarray(N, jnp.int32),
+        k=k, rel_model=rel_model, corrupt=corrupt, tile=tile)
+    scores, ids = np.asarray(scores), np.asarray(ids)
+
+    # Brute force with the same scorer.
+    score = scoring.get_score_fn(rel_model)
+    cand = jnp.asarray(table[:N])
+    if corrupt == "head":
+        full = score(cand[None, :, :], fixed[:, None, :], rel[:, None, :])
+    else:
+        full = score(fixed[:, None, :], cand[None, :, :], rel[:, None, :])
+    full = np.asarray(full)  # (B, N)
+    want_ids = np.argsort(-full, axis=1)[:, :k]
+    want_scores = np.take_along_axis(full, want_ids, axis=1)
+
+    np.testing.assert_allclose(scores, want_scores, rtol=1e-5, atol=1e-5)
+    # ids may differ on exact float ties; continuous random scores don't tie.
+    np.testing.assert_array_equal(ids, want_ids)
+    # sorted descending, all within the valid range
+    assert (np.diff(scores, axis=1) <= 1e-7).all()
+    assert (ids >= 0).all() and (ids < N).all()
+
+
+def test_link_predictor_end_to_end():
+    cfg = blp.ModelConfig(model="transductive", rel_model="distmult",
+                          loss_fn="margin", dim=16, num_relations=4,
+                          num_entities=30)
+    params = blp.init_params(jax.random.key(0), cfg)
+    srv = serve.LinkPredictor(params=params, cfg=cfg, tile=16)
+
+    ids = np.arange(100, 130)  # external ids distinct from columns
+    table = np.asarray(params["ent_emb"])
+    srv.set_candidates(table, ids)
+
+    q_emb = table[[3, 7]]
+    scores, ents = srv.predict_tails(head_emb=q_emb, rels=[1, 2], k=4)
+    assert scores.shape == (2, 4) and ents.shape == (2, 4)
+    assert set(ents.ravel()) <= set(ids.tolist())
+
+    # Parity with direct scoring for the first query.
+    rel = np.asarray(params["rel_emb"])[1]
+    full = np.asarray(scoring.get_score_fn("distmult")(
+        jnp.asarray(q_emb[0])[None, :], jnp.asarray(table),
+        jnp.asarray(rel)[None, :]))
+    best = ids[np.argsort(-full)[:4]]
+    np.testing.assert_array_equal(ents[0], best)
+
+    scores_h, ents_h = srv.predict_heads(tail_emb=q_emb, rels=[0, 3], k=4)
+    assert ents_h.shape == (2, 4)
+
+
+def test_link_predictor_requires_table():
+    cfg = blp.ModelConfig(model="transductive", rel_model="transe",
+                          loss_fn="margin", dim=8, num_relations=2,
+                          num_entities=5)
+    params = blp.init_params(jax.random.key(0), cfg)
+    srv = serve.LinkPredictor(params=params, cfg=cfg)
+    with pytest.raises(ValueError):
+        srv.predict_tails(head_emb=np.zeros((1, 8), np.float32), rels=[0])
+    with pytest.raises(ValueError):
+        srv.embed_texts(["no tokenizer installed"])
