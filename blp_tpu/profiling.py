@@ -93,3 +93,61 @@ def device_memory_stats() -> list[dict]:
         out.append({"device": str(dev), **{k: int(v) for k, v in stats.items()
                                            if isinstance(v, (int, float))}})
     return out
+
+
+def summarize_hlo_stats(trace_dir: str, top: int = 15) -> dict | None:
+    """Parse an xprof trace captured with `trace(dir)` into per-HLO-op stats:
+    total device time, time by op category, and the top ops with bound-by
+    classification and achieved GF/s / GiB/s. Returns None when the xprof
+    converter is unavailable (it ships with tensorboard-plugin-profile).
+
+    This is the workflow behind PERFORMANCE.md: capture 5 steps under
+    trace(), then summarize_hlo_stats() to see where device time goes.
+    """
+    import glob
+    import json
+    from collections import defaultdict
+
+    try:
+        from xprof.convert import raw_to_tool_data as r2d
+    except ImportError:
+        try:
+            from tensorboard_plugin_profile.convert import raw_to_tool_data as r2d
+        except ImportError:
+            return None
+
+    paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
+    if not paths:
+        return None
+    data, _ = r2d.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+    raw = json.loads(data if isinstance(data, str) else data.decode())
+    cols = [c.get("label") or c.get("id") for c in raw["cols"]]
+    idx = {name: cols.index(name) for name in (
+        "HLO op category", "HLO op name", "#Occurrences",
+        "Total self time (us)", "Bound by", "Model GFLOP/s",
+        "HBM BW (GiB/s)")}
+
+    def val(row, name):
+        return row["c"][idx[name]].get("v")
+
+    ops = []
+    for row in raw["rows"]:
+        ops.append({
+            "name": val(row, "HLO op name"),
+            "category": val(row, "HLO op category"),
+            "occurrences": int(val(row, "#Occurrences") or 0),
+            "self_time_us": float(val(row, "Total self time (us)") or 0.0),
+            "bound_by": val(row, "Bound by"),
+            "gflops_per_s": float(val(row, "Model GFLOP/s") or 0.0),
+            "hbm_gib_per_s": float(val(row, "HBM BW (GiB/s)") or 0.0),
+        })
+    ops.sort(key=lambda o: -o["self_time_us"])
+    by_category = defaultdict(float)
+    for o in ops:
+        by_category[o["category"]] += o["self_time_us"]
+    total = sum(by_category.values())
+    return {
+        "total_device_time_us": total,
+        "by_category_us": dict(sorted(by_category.items(), key=lambda kv: -kv[1])),
+        "top_ops": ops[:top],
+    }

@@ -225,14 +225,19 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     start_epoch = 1
     ckpt_file = osp.join(cfg.out_dir, f"model-{run_id}.npz")
     state_file = osp.join(cfg.out_dir, f"train_state-{run_id}.npz")
-    if cfg.resume and osp.exists(cfg.resume):
+    # resume="auto": pick up this run's own state file if present — a
+    # preempted job relaunched with the same run_id continues where it left
+    # off (set run_id= explicitly for this; the default run_id is a fresh
+    # timestamp). Otherwise resume= names a state file directly.
+    resume_path = state_file if cfg.resume == "auto" else cfg.resume
+    if resume_path and osp.exists(resume_path):
         (params, opt_state), meta = ckpt.load_pytree(
-            cfg.resume, template=(params, opt_state))
+            resume_path, template=(params, opt_state))
         params = jax.tree.map(jnp.asarray, params)
         opt_state = jax.tree.map(jnp.asarray, opt_state)
         start_epoch = int(meta["epoch"]) + 1
         best_mrr = float(meta.get("best_mrr", 0.0))
-        log.info(f"Resumed from {cfg.resume} at epoch {start_epoch}")
+        log.info(f"Resumed from {resume_path} at epoch {start_epoch}")
 
     base_key = jax.random.key(cfg.seed)
     global_step = (start_epoch - 1) * steps_per_epoch

@@ -52,3 +52,19 @@ def test_resume_bitwise_equivalent(workdir):
 def _leaves(tree):
     import jax
     return jax.tree.leaves(tree)
+
+
+def test_auto_resume_same_run_id(workdir):
+    """resume='auto' + fixed run_id: a relaunched (preempted) job picks up
+    its own train_state file and finishes identically to a straight run."""
+    r_full = link_prediction(_cfg(workdir, run_id="auto-full", max_epochs=2))
+    link_prediction(_cfg(workdir, run_id="auto", max_epochs=2,
+                         stop_after_epochs=1, resume="auto"))
+    r2 = link_prediction(_cfg(workdir, run_id="auto", max_epochs=2,
+                              resume="auto"))
+    assert np.isclose(r2["test_mrr"], r_full["test_mrr"], atol=1e-6)
+
+    p_full, _ = load_pytree(str(workdir / "output" / "train_state-auto-full.npz"))
+    p_auto, _ = load_pytree(str(workdir / "output" / "train_state-auto.npz"))
+    for a, b in zip(_leaves(p_full), _leaves(p_auto)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

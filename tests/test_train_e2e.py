@@ -106,3 +106,23 @@ def test_checkpoint_roundtrip(tmp_path):
     save_pytree(path2, state)
     restored, _ = load_pytree(path2, template=state)
     assert jax.tree.structure(restored) == jax.tree.structure(state)
+
+
+def test_summarize_hlo_stats_tolerates_cpu(tmp_path):
+    """The xprof summarizer must degrade gracefully: on CPU traces (or with
+    the converter missing) it returns None or a well-formed dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from blp_tpu import profiling
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x * 2.0)
+
+    float(f(jnp.ones((8, 8))))
+    with profiling.trace(str(tmp_path / "tr")):
+        float(f(jnp.ones((8, 8))))
+    out = profiling.summarize_hlo_stats(str(tmp_path / "tr"))
+    if out is not None:
+        assert {"total_device_time_us", "by_category_us", "top_ops"} <= set(out)
