@@ -54,6 +54,8 @@ def make_parallel_train_step(cfg: blp.ModelConfig, optimizer, *,
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key, batch):
+        if isinstance(key, tuple):  # (base_key, step_index): fold in-jit
+            key = jax.random.fold_in(key[0], key[1])
         k_neg, k_drop = jax.random.split(key)
         batch = dict(batch)
         batch["neg_idx"] = sample_negative_indices(k_neg, batch_size, num_negatives)

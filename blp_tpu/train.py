@@ -245,7 +245,7 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     last_epoch = cfg.max_epochs if cfg.stop_after_epochs is None else \
         min(cfg.max_epochs, cfg.stop_after_epochs)
     for epoch in range(start_epoch, last_epoch + 1):
-        epoch_loss, t0 = 0.0, time.time()
+        step_losses, t0 = [], time.time()
         shuffle_rng = np.random.default_rng(cfg.seed * 1_000_003 + epoch)
         for step_i, triples in enumerate(
                 epoch_batches(train_data, cfg.batch_size, rng=shuffle_rng)):
@@ -258,20 +258,27 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
                 batch = train_parallel.shard_batch(batch, mesh)
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            k_step = jax.random.fold_in(base_key, global_step)
-            params, opt_state, loss = train_step(params, opt_state, k_step, batch)
+            params, opt_state, loss = train_step(
+                params, opt_state, (base_key, global_step), batch)
             global_step += 1
-            loss_val = float(loss)
-            epoch_loss += loss_val
+            # Keep losses on device: a float(loss) here would force a
+            # device->host sync EVERY step, serializing the dispatch pipeline
+            # (measured ~90ms/step vs 62ms compute on a tunneled chip). Sync
+            # only at log points; the epoch mean reads the stacked scalars
+            # once at epoch end.
+            step_losses.append(loss)
             if step_i % log_every == 0:
+                loss_val = float(loss)
                 log.info(f"Epoch {epoch}/{cfg.max_epochs} "
                          f"[{step_i}/{steps_per_epoch}]: {loss_val:.6f}")
                 metrics_log.log(global_step, batch_loss=loss_val)
+        epoch_loss = (float(np.mean(jax.device_get(jnp.stack(step_losses))))
+                      if step_losses else 0.0)
         dt = time.time() - t0
         tput = steps_per_epoch * cfg.batch_size / max(dt, 1e-9)
-        metrics_log.log(epoch, train_loss=epoch_loss / max(steps_per_epoch, 1),
+        metrics_log.log(epoch, train_loss=epoch_loss,
                         triples_per_sec=tput)
-        log.info(f"Epoch {epoch}: loss {epoch_loss / max(steps_per_epoch, 1):.6f} "
+        log.info(f"Epoch {epoch}: loss {epoch_loss:.6f} "
                  f"({tput:,.0f} triples/s)")
 
         if epoch % cfg.eval_every == 0:

@@ -58,8 +58,14 @@ def make_train_step(
 
     # params/opt_state buffers are donated: the update happens in place on
     # device, halving peak HBM and avoiding dead-copy churn.
+    #
+    # `key` may be a (base_key, step_index) pair — folding happens INSIDE the
+    # jit: an eager fold_in in the host loop is a separate tiny device
+    # execution per step, which costs a dispatch round-trip on remote chips.
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key, batch):
+        if isinstance(key, tuple):
+            key = jax.random.fold_in(key[0], key[1])
         k_neg, k_drop = jax.random.split(key)
         batch = dict(batch)
         batch["neg_idx"] = sample_negative_indices(k_neg, batch_size, num_negatives)
