@@ -117,8 +117,11 @@ def _mesh_rank_batch(mesh, rel_model: str, tile: int):
     }
 
     @jax.jit
-    def fn(table, head_pos, tail_pos, rel_emb, num_valid,
+    def fn(table, head_pos, tail_pos, rel_table, rel_ids, num_valid,
            heads_filter, tails_filter):
+        # rel gather happens in-jit: an eager table[ids] in the host loop is
+        # a separate tiny device execution per batch (dispatch round-trip).
+        rel_emb = rel_table[rel_ids]
         head_emb = table[head_pos]
         tail_emb = table[tail_pos]
         out = {}
@@ -154,7 +157,7 @@ def _use_pallas_default(rel_model: str, dim: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("rel_model", "tile", "use_pallas"))
 def _rank_batch(
-    table, head_pos, tail_pos, rel_emb, num_valid,
+    table, head_pos, tail_pos, rel_table, rel_ids, num_valid,
     heads_filter, tails_filter, *, rel_model: str, tile: int,
     use_pallas: bool = False,
 ):
@@ -163,6 +166,7 @@ def _rank_batch(
     Returns dict of (B,) arrays; 'h_' prefixes head-corruption (predict the
     head given (?, t, r)), 't_' tail-corruption.
     """
+    rel_emb = rel_table[rel_ids]
     head_emb = table[head_pos]
     tail_emb = table[tail_pos]
 
@@ -305,12 +309,12 @@ def eval_link_prediction(
         if mesh is not None:
             counts = mesh_rank(
                 ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),
-                rel_emb_table[jnp.asarray(batch[:, 2])], num_valid,
+                rel_emb_table, jnp.asarray(batch[:, 2]), num_valid,
                 jnp.asarray(hf), jnp.asarray(tf))
         else:
             counts = _rank_batch(
                 ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),
-                rel_emb_table[jnp.asarray(batch[:, 2])], num_valid,
+                rel_emb_table, jnp.asarray(batch[:, 2]), num_valid,
                 jnp.asarray(hf), jnp.asarray(tf), rel_model=cfg.rel_model,
                 tile=tile,
                 use_pallas=(use_pallas if use_pallas is not None
