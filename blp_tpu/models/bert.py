@@ -164,6 +164,10 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
                     cfg.layer_norm_eps, out_dtype=res_dt)
 
+    # NOTE (measured, do not re-try): wrapping the FFN pair in its own
+    # checkpoint that saves only the bf16 pre-gelu (recompute gelu in bwd to
+    # halve the (B,S,4H) stash) LOSES on v5e — 64.4/69.7 ms vs 62.7/61.4 for
+    # remat=False/True: the erf recompute costs more than the stash traffic.
     ffn = checkpoint_name(_dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt, dt),
                           "ffn_pre")
     ffn = jax.nn.gelu(ffn, approximate=False)
