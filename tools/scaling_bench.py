@@ -122,21 +122,34 @@ def main():
     if d >= 4:
         shapes += [(d // 2, 2)]
 
+    # On a VIRTUAL mesh (--cpu-mesh: N devices carved from one host) the N
+    # "devices" share one machine's FLOPs, so per-device scaling efficiency is
+    # not measurable — the honest metric there is SPMD partitioning overhead:
+    # perfect behavior keeps throughput equal to the 1-device run. On real
+    # multi-chip hardware each device adds FLOPs and the per-device
+    # efficiency_vs_1dev (tput / (base * num_devices)) is the right metric.
+    virtual = args.cpu_mesh
+
+    def report(bench, shape, tput, base, unit):
+        n_dev = shape[0] * shape[1]
+        row = {"bench": bench, "mesh": list(shape), unit: round(tput, 1)}
+        if virtual:
+            row["virtual_mesh_overhead_vs_1dev"] = round(tput / base, 3)
+            row["note"] = "virtual mesh shares one host's FLOPs; validates semantics/overhead, not scaling"
+        else:
+            row["efficiency_vs_1dev"] = round(tput / (base * n_dev), 3)
+        print(json.dumps(row))
+
     base = None
     for shape in shapes:
         tput = measure_train(shape, args.batch)
         base = base or tput
-        eff = tput / (base * shape[0] * shape[1] / 1)
-        print(json.dumps({"bench": "train", "mesh": list(shape),
-                          "edges_per_sec": round(tput, 1),
-                          "efficiency_vs_1dev": round(tput / (base * shape[0] * shape[1]), 3)}))
+        report("train", shape, tput, base, "edges_per_sec")
     base = None
     for shape in shapes:
         tput = measure_eval(shape)
         base = base or tput
-        print(json.dumps({"bench": "eval_rank", "mesh": list(shape),
-                          "cand_scores_per_sec": round(tput, 1),
-                          "efficiency_vs_1dev": round(tput / (base * shape[0] * shape[1]), 3)}))
+        report("eval_rank", shape, tput, base, "cand_scores_per_sec")
 
 
 if __name__ == "__main__":
