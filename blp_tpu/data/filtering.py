@@ -16,26 +16,54 @@ from collections import defaultdict
 import numpy as np
 
 
+class _SortedMultiMap:
+    """(key_entity, rel) -> sorted unique values, built fully vectorized:
+    lexsort + duplicate drop + group offsets, queried by binary search. A
+    Python loop over triples takes minutes at Wikidata5M scale (~20M filter
+    triples); this builds in one numpy pass."""
+
+    def __init__(self, keys_ent: np.ndarray, rels: np.ndarray,
+                 values: np.ndarray):
+        assert keys_ent.max(initial=0) < (1 << 31) and rels.max(initial=0) < (1 << 31)
+        keys = (keys_ent.astype(np.int64) << 31) | rels.astype(np.int64)
+        order = np.lexsort((values, keys))
+        keys, values = keys[order], values[order]
+        if len(keys):
+            keep = np.concatenate([[True], (keys[1:] != keys[:-1]) |
+                                   (values[1:] != values[:-1])])
+            keys, values = keys[keep], values[keep]
+        starts = np.concatenate([[True], keys[1:] != keys[:-1]]) if len(keys) \
+            else np.zeros(0, bool)
+        self._uniq = keys[starts] if len(keys) else np.zeros(0, np.int64)
+        offs = np.flatnonzero(starts)
+        self._offsets = np.concatenate([offs, [len(keys)]]).astype(np.int64) \
+            if len(keys) else np.zeros(1, np.int64)
+        self._values = values
+        self._empty = np.zeros(0, np.int64)
+
+    def get(self, ent: int, rel: int) -> np.ndarray:
+        key = (int(ent) << 31) | int(rel)
+        i = np.searchsorted(self._uniq, key)
+        if i == len(self._uniq) or self._uniq[i] != key:
+            return self._empty
+        return self._values[self._offsets[i]:self._offsets[i + 1]]
+
+
 class FilterIndex:
     """(head, rel) -> tails and (tail, rel) -> heads over the filter graph
     (all known-true triples)."""
 
     def __init__(self, triples: np.ndarray):
         """triples: (T, 3) [head, tail, rel]."""
-        tails_of = defaultdict(list)
-        heads_of = defaultdict(list)
-        for h, t, r in np.asarray(triples, dtype=np.int64):
-            tails_of[(int(h), int(r))].append(int(t))
-            heads_of[(int(t), int(r))].append(int(h))
-        self._tails_of = {k: np.unique(v) for k, v in tails_of.items()}
-        self._heads_of = {k: np.unique(v) for k, v in heads_of.items()}
-        self._empty = np.zeros(0, np.int64)
+        arr = np.asarray(triples, dtype=np.int64).reshape(-1, 3)
+        self._tails_of = _SortedMultiMap(arr[:, 0], arr[:, 2], arr[:, 1])
+        self._heads_of = _SortedMultiMap(arr[:, 1], arr[:, 2], arr[:, 0])
 
     def true_tails(self, head: int, rel: int) -> np.ndarray:
-        return self._tails_of.get((head, rel), self._empty)
+        return self._tails_of.get(head, rel)
 
     def true_heads(self, tail: int, rel: int) -> np.ndarray:
-        return self._heads_of.get((tail, rel), self._empty)
+        return self._heads_of.get(tail, rel)
 
 
 def _bucket(width: int, minimum: int = 8) -> int:
