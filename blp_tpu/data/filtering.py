@@ -11,7 +11,6 @@ instead of masking a dense score matrix — same metric, O(B*F) memory.
 
 from __future__ import annotations
 
-from collections import defaultdict
 
 import numpy as np
 
