@@ -48,18 +48,24 @@ def write_synth_dataset(
     """
     rng = np.random.default_rng(seed)
     os.makedirs(directory, exist_ok=True)
-    types = (rng.integers(num_types, size=num_entities)
-             if num_types > 0 else None)
+    types = None
     # Relation r links only heads of type ht[r] to tails of type tt[r].
     if num_types > 0:
+        if num_types > min(num_entities, num_relations, len(_WORDS)):
+            raise ValueError(
+                f"num_types={num_types} needs num_entities, num_relations and "
+                f"the word list ({len(_WORDS)}) to be at least that large")
+        types = rng.integers(num_types, size=num_entities)
+        # Deterministically inhabit every type (entity i < num_types gets
+        # type i) — a random reassignment loop can re-empty a type it
+        # already fixed.
+        types[np.arange(num_types)] = np.arange(num_types)
         rel_head_type = rng.integers(num_types, size=num_relations)
         rel_tail_type = rng.integers(num_types, size=num_relations)
+        # Every type heads at least one relation, so the connectivity pass
+        # below can always attach an isolated entity as a head.
+        rel_head_type[np.arange(num_types)] = np.arange(num_types)
         by_type = [np.flatnonzero(types == c) for c in range(num_types)]
-        # every type must be inhabited
-        for c in range(num_types):
-            if len(by_type[c]) == 0:
-                types[int(rng.integers(num_entities))] = c
-                by_type = [np.flatnonzero(types == c) for c in range(num_types)]
 
     ents = [f"ent_{i:04d}" for i in range(num_entities)]
     rels = [f"rel_{i}" for i in range(num_relations)]
@@ -79,8 +85,9 @@ def write_synth_dataset(
                 continue
             edges.add((int(h), int(t), int(rng.integers(num_relations))))
     else:
-        # Type-consistent edges only (plus a ring over each type's members
-        # via relation 0's pair so no entity is isolated in-type).
+        # Type-consistent edges only. A connectivity pass then attaches any
+        # entity the random sampling left isolated (as the head of its
+        # type's own relation), so every entity has at least one edge.
         edges = set()
         tries = 0
         while len(edges) < num_triples and tries < num_triples * 50:
@@ -92,6 +99,22 @@ def write_synth_dataset(
             t = int(ts_[rng.integers(len(ts_))])
             if h != t:
                 edges.add((h, t, r))
+        if len(edges) < num_triples:
+            import warnings
+            warnings.warn(f"typed graph saturated at {len(edges)} edges "
+                          f"(< requested {num_triples})")
+        touched = np.zeros(num_entities, bool)
+        for h, t, _ in edges:
+            touched[h] = touched[t] = True
+        for e in np.flatnonzero(~touched):
+            r = int(types[e])  # rel_head_type[r] == types[e] by construction
+            pool = by_type[rel_tail_type[r]]
+            pool = pool[pool != e]
+            if len(pool) == 0:
+                raise ValueError(
+                    f"cannot connect entity {e}: type {rel_tail_type[r]} has "
+                    f"no other member; use more entities per type")
+            edges.add((int(e), int(pool[rng.integers(len(pool))]), r))
     edges = sorted(edges)
     rng.shuffle(edges)
 

@@ -182,11 +182,14 @@ def _rank_batch(
             from blp_tpu.ops import pallas_ranking
 
             # The kernel's in-VMEM filter mask bounds its tile (see
-            # ops/pallas_ranking.py); table padding (a multiple of `tile`)
-            # stays compatible since 8192 divides the default tile.
+            # ops/pallas_ranking.py). Use the largest divisor of `tile`
+            # within the bound so the table padding (a multiple of `tile`)
+            # stays a multiple of the kernel tile for ANY user tile.
+            ptile = next(t for t in range(min(tile, 8192), 0, -1)
+                         if tile % t == 0)
             c = pallas_ranking.transe_tiled_rank_counts(
                 table, fixed_emb, rel_emb, true_scores, own_pos, filt,
-                num_valid, corrupt=corrupt, tile=min(tile, 8192))
+                num_valid, corrupt=corrupt, tile=ptile)
         else:
             c = ranking.tiled_rank_counts(
                 table, fixed_emb, rel_emb, true_scores, own_pos, filt, num_valid,
@@ -239,21 +242,17 @@ def eval_link_prediction(
     max_ent_id = int(max(entities.max(), eval_triples[:, :2].max()))
     ent2idx = make_ent2idx(entities, max_ent_id)
     n = len(entities)
+    # Clamp the tile to the candidate count (rounded for clean layout):
+    # padding a 135-entity UMLS table to the Wikidata5M-sized default tile
+    # would multiply every rank pass by tile/n in pure wasted work.
+    tile = min(tile, _round_up(max(n, 1), 256))
     pad_unit = tile if mesh is None else tile * mesh.devices.size
     n_pad = _round_up(n, pad_unit)
 
     if ent_emb is None:
         if cfg.is_inductive:
-            # Params must be a jit ARGUMENT, not a closure constant: closed-over
-            # arrays are baked into the compile payload, which both bloats the
-            # executable and exceeds remote-compile request limits for
-            # BERT-sized models.
-            @jax.jit
-            def _encode(p, tok, mask):
-                return blp.encode(p, cfg, tok, mask, deterministic=True)
-
             def encode_batch(tok, mask):
-                return _encode(params, tok, mask)
+                return blp.encode_jit(params, cfg, tok, mask)
 
             ent_emb = build_entity_table(
                 encode_batch, text_data, entities,

@@ -17,6 +17,7 @@ function is jit/pjit-compatible and takes `deterministic`/`rng` explicitly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -173,6 +174,19 @@ def encode_entity_ids(params: dict, cfg: ModelConfig, entity_ids: Array) -> Arra
     if cfg.normalize_embs:
         out = scoring.l2_normalize(out)
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def encode_jit(params: dict, cfg: ModelConfig, text_tok: Array,
+               text_mask: Array | None) -> Array:
+    """The shared jitted inference encoder (eval table build, retrieval,
+    serving). Module-level so jax.jit caches one executable per (config,
+    shapes) — a wrapper created inside a function retraces and recompiles the
+    full encoder on every call. Params are a jit ARGUMENT, never a closure
+    constant: closed-over weights get baked into the compile payload (440MB
+    for BERT-base), which bloats executables and exceeds remote-compile
+    request limits. ModelConfig is frozen/hashable, hence static."""
+    return encode(params, cfg, text_tok, text_mask, deterministic=True)
 
 
 def train_loss(

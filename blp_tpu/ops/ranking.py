@@ -179,6 +179,10 @@ def tiled_top_k(
     """
     n_pad, d = table.shape
     b = fixed_emb.shape[0]
+    if n_pad % tile != 0:
+        raise ValueError(f"table rows {n_pad} not a multiple of tile {tile}; "
+                         f"pad the table (a trailing partial tile would be "
+                         f"silently skipped)")
     n_tiles = n_pad // tile
 
     def body(carry, tile_idx):

@@ -119,13 +119,18 @@ def summarize_hlo_stats(trace_dir: str, top: int = 15) -> dict | None:
     paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
     if not paths:
         return None
-    data, _ = r2d.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
-    raw = json.loads(data if isinstance(data, str) else data.decode())
-    cols = [c.get("label") or c.get("id") for c in raw["cols"]]
-    idx = {name: cols.index(name) for name in (
-        "HLO op category", "HLO op name", "#Occurrences",
-        "Total self time (us)", "Bound by", "Model GFLOP/s",
-        "HBM BW (GiB/s)")}
+    try:
+        data, _ = r2d.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+        raw = json.loads(data if isinstance(data, str) else data.decode())
+        cols = [c.get("label") or c.get("id") for c in raw["cols"]]
+        idx = {name: cols.index(name) for name in (
+            "HLO op category", "HLO op name", "#Occurrences",
+            "Total self time (us)", "Bound by", "Model GFLOP/s",
+            "HBM BW (GiB/s)")}
+    except (ValueError, KeyError, json.JSONDecodeError):
+        # Column names vary across xprof versions; degrade to None rather
+        # than crash a profiling workflow.
+        return None
 
     def val(row, name):
         return row["c"][idx[name]].get("v")

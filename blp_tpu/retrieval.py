@@ -132,14 +132,10 @@ def embed_texts(params, mcfg, tokenizer, texts: list[str], *, max_len: int,
                 batch_size: int, drop_stopwords: bool) -> np.ndarray:
     """Encode a list of texts with the frozen encoder, fixed-shape batches."""
 
-    # Params as a jit argument (not a closure constant) so BERT-sized weights
-    # are not baked into the compile payload.
-    @jax.jit
-    def _encode(p, tok, mask):
-        return blp.encode(p, mcfg, tok, mask, deterministic=True)
-
     def encode_batch(tok, mask):
-        return _encode(params, tok, mask)
+        # Shared module-level jitted encoder: one compile per (config, shape),
+        # params as a runtime argument (see blp.encode_jit).
+        return blp.encode_jit(params, mcfg, tok, mask)
 
     out = []
     for start in range(0, len(texts), batch_size):

@@ -33,11 +33,6 @@ from blp_tpu.models import blp
 from blp_tpu.ops import ranking
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _encode_fn(params, cfg: blp.ModelConfig, tok, mask):
-    # ModelConfig is frozen/hashable: one compile per config, params stay a
-    # runtime argument (never baked into the compile payload).
-    return blp.encode(params, cfg, tok, mask, deterministic=True)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -75,7 +70,7 @@ class LinkPredictor:
         return self._encode(self.params, jnp.asarray(tok), jnp.asarray(mask))
 
     def _encode(self, params, tok, mask):
-        return _encode_fn(params, self.cfg, tok, mask)
+        return blp.encode_jit(params, self.cfg, tok, mask)
 
     # -- candidate universe ----------------------------------------------------
 
@@ -94,6 +89,8 @@ class LinkPredictor:
 
     def set_candidates_from_texts(self, ids, texts: list[str],
                                   batch_size: int = 512) -> None:
+        if self.tokenizer is None:
+            raise ValueError("a tokenizer is required to embed raw text")
         chunks = []
         for s in range(0, len(texts), batch_size):
             chunk = texts[s : s + batch_size]
