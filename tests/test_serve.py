@@ -84,3 +84,35 @@ def test_link_predictor_requires_table():
         srv.predict_tails(head_emb=np.zeros((1, 8), np.float32), rels=[0])
     with pytest.raises(ValueError):
         srv.embed_texts(["no tokenizer installed"])
+
+
+def test_serve_cli_main(tmp_path, capsys):
+    """End-to-end CLI: train-free — random-init bert-bow checkpoint over a
+    synthetic dataset, query the test split."""
+    import os
+
+    from blp_tpu import checkpoint as ckpt
+    from blp_tpu import train as train_mod
+    from blp_tpu.config import ExperimentConfig
+    from blp_tpu.data.synth import write_synth_dataset
+
+    data_dir = tmp_path / "data"
+    write_synth_dataset(str(data_dir / "srv"), num_entities=40,
+                        num_relations=4, num_triples=200, seed=3)
+    cfg = ExperimentConfig(dataset="srv", data_dir=str(data_dir),
+                           model="bert-bow", encoder_name="tiny",
+                           rel_model="distmult", dim=16, max_len=16,
+                           emb_batch_size=16, tile=16)
+    tokenizer = train_mod.make_tokenizer(cfg)
+    mcfg = train_mod.make_model_config(cfg, tokenizer, 4, 40)
+    params = blp.init_params(jax.random.key(0), mcfg)
+    ck = tmp_path / "model.npz"
+    ckpt.save_pytree(str(ck), params, metadata={})
+
+    os.chdir(tmp_path)  # maps.json written next to dataset
+    serve.main([f"dataset=srv", f"data_dir={data_dir}", "model=bert-bow",
+                "encoder_name=tiny", "rel_model=distmult", "dim=16",
+                "max_len=16", "emb_batch_size=16", "tile=16",
+                f"checkpoint={ck}"])
+    out = capsys.readouterr().out
+    assert "-> [" in out and "true=" in out
