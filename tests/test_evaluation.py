@@ -159,3 +159,79 @@ def test_build_filters_padding(setup):
     # Fixed pad width is honored.
     hf2, _ = build_filters(dev.triples[:5], fidx, ent2idx, pad_width=32)
     assert hf2.shape[1] == 32
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_eval_fuzz_matches_dense_reference(seed):
+    """Fuzz: random (N, B, tile, rel_model) configurations — the streamed
+    evaluator must match a dense (B, N) reference computation exactly on raw
+    and filtered metrics (transductive table; padding/tie paths exercised by
+    non-dividing batch sizes and random filter graphs)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 90))
+    d = int(rng.choice([8, 16]))
+    b = int(rng.integers(3, 9))
+    tile = int(rng.choice([8, 16, 32]))
+    rel_model = str(rng.choice(["transe", "distmult", "complex", "simple"]))
+
+    entities = np.sort(rng.choice(200, size=n, replace=False)).astype(np.int32)
+    rels = rng.integers(0, 5, size=3 * b).astype(np.int32)
+    heads = entities[rng.integers(0, n, 3 * b)]
+    tails = entities[rng.integers(0, n, 3 * b)]
+    eval_triples = np.stack([heads, tails, rels], axis=1)
+    extra = np.stack([entities[rng.integers(0, n, 40)],
+                      entities[rng.integers(0, n, 40)],
+                      rng.integers(0, 5, 40).astype(np.int32)], axis=1)
+    all_triples = np.concatenate([eval_triples, extra])
+    fidx = FilterIndex(all_triples)
+
+    cfg = blp.ModelConfig(model="transductive", rel_model=rel_model,
+                          loss_fn="margin", dim=d, num_relations=5,
+                          num_entities=int(entities.max()) + 1)
+    params = blp.init_params(jax.random.key(seed), cfg)
+
+    res = evaluation.eval_link_prediction(
+        params, cfg, eval_triples, None, entities,
+        batch_size=b, emb_batch_size=16, tile=tile, filter_index=fidx)
+
+    # Dense reference computation.
+    ent2idx = make_ent2idx(entities, int(max(entities.max(),
+                                             eval_triples[:, :2].max())))
+    table = np.asarray(blp.encode_entity_ids(params, cfg, jnp.asarray(entities)))
+    score = scoring.get_score_fn(rel_model)
+    head_pos = ent2idx[eval_triples[:, 0]]
+    tail_pos = ent2idx[eval_triples[:, 1]]
+    rel_emb = np.asarray(params["rel_emb"])[eval_triples[:, 2]]
+    s_head = np.asarray(score(jnp.asarray(table)[None],
+                              jnp.asarray(table[tail_pos])[:, None],
+                              jnp.asarray(rel_emb)[:, None]))
+    s_tail = np.asarray(score(jnp.asarray(table[head_pos])[:, None],
+                              jnp.asarray(table)[None],
+                              jnp.asarray(rel_emb)[:, None]))
+    pred = np.concatenate([s_head, s_tail])
+    true_idx = np.concatenate([head_pos, tail_pos])
+
+    filt = np.zeros_like(pred, dtype=bool)
+    B = len(eval_triples)
+    for i, (h, t, r) in enumerate(eval_triples):
+        for h2 in fidx.true_heads(int(t), int(r)):
+            if h2 != h and ent2idx[h2] >= 0:
+                filt[i, ent2idx[h2]] = True
+        for t2 in fidx.true_tails(int(h), int(r)):
+            if t2 != t and ent2idx[t2] >= 0:
+                filt[B + i, ent2idx[t2]] = True
+
+    def ranks_of(scores):
+        ts = np.take_along_axis(scores, true_idx[:, None], axis=1)
+        return ((scores > ts).sum(1) + 1 + (scores >= ts).sum(1)) / 2.0
+
+    raw_ranks = ranks_of(pred)
+    pred_f = pred.copy()
+    pred_f[filt] = pred.min() - 1.0
+    filt_ranks = ranks_of(pred_f)
+
+    assert np.isclose(res.mrr, (1.0 / raw_ranks).mean(), atol=1e-6)
+    assert np.isclose(res.mrr_filt, (1.0 / filt_ranks).mean(), atol=1e-6)
+    for k in (1, 3, 10):
+        assert np.isclose(res.hits[k], (raw_ranks <= k).mean(), atol=1e-6)
+        assert np.isclose(res.hits_filt[k], (filt_ranks <= k).mean(), atol=1e-6)
