@@ -1,0 +1,23 @@
+#!/bin/bash
+
+python -m blp_tpu.train link_prediction with \
+dataset='Wikidata5M' \
+inductive=True \
+dim=128 \
+model='glove-bow' \
+rel_model='transe' \
+loss_fn='margin' \
+encoder_name='bert-base-cased' \
+regularizer=1e-2 \
+max_len=64 \
+num_negatives=64 \
+lr=1e-3 \
+use_scheduler=False \
+batch_size=1024 \
+emb_batch_size=12288 \
+eval_batch_size=64 \
+max_epochs=0 \
+checkpoint='output/model-glove-bow-wikidata5m.npz' \
+use_cached_text=True \
+large_dataset=True \
+bf16=False

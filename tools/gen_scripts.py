@@ -92,6 +92,16 @@ def main(out_dir: str = "scripts"):
             name = f"{model}-{ds_slug}.sh"
             emit(os.path.join(out_dir, name), args)
             names.append(name)
+            if model.endswith("bow"):
+                # The reference ships pretrained-eval variants for the BOW
+                # models too (e.g. scripts/bert-bow-wn18rr-pretrained.sh).
+                p = dict(args)
+                p["max_epochs"] = 0
+                p["checkpoint"] = f"'output/model-{model}-{ds_slug}.npz'"
+                p["use_cached_text"] = True
+                pname = f"{model}-{ds_slug}-pretrained.sh"
+                emit(os.path.join(out_dir, pname), p)
+                names.append(pname)
 
     # UMLS smoke test (reference: scripts/test-umls.sh — "<1 min on GPU").
     args = base_args("WN18RR", "bert-bow", "transe", "1e-3", 5, False, "1e-2")
