@@ -185,21 +185,19 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     return x
 
 
-def bert_encode(
+def embed_inputs(
     params: dict,
     input_ids: Array,
     attention_mask: Array | None,
     cfg: BertConfig,
-    *,
-    deterministic: bool = True,
-    dropout_rng: Array | None = None,
-) -> Array:
-    """Run the BERT encoder. Returns last hidden states (B, S, H) in the
-    residual dtype: float32 in fp32 parity mode, compute_dtype otherwise.
+) -> tuple[Array, Array, int]:
+    """Embedding preamble shared by the scan encoder and the pipelined
+    encoder (parallel/pipeline.py): token + position + segment-0 embeddings,
+    LayerNorm, optional sequence packing, additive attention bias.
 
-    attention_mask: (B, S) with 1 for real tokens, 0 for padding (None = all
-    ones). Matches HF semantics: additive -10000 bias on padded keys.
-    """
+    Returns (x, mask_bias, pack): x is (B/pack, pack*S, H) in the residual
+    dtype; mask_bias is the additive (-10000 on hidden keys) attention bias
+    broadcastable to (B/pack, heads, pack*S, pack*S)."""
     B, S = input_ids.shape
     emb = params["embeddings"]
 
@@ -228,6 +226,26 @@ def bert_encode(
         mask_bias = jnp.where(visible, 0.0, -10000.0)[:, None, :, :]
     else:
         mask_bias = (1.0 - key_mask)[:, None, None, :] * -10000.0
+    return x, mask_bias, pack
+
+
+def bert_encode(
+    params: dict,
+    input_ids: Array,
+    attention_mask: Array | None,
+    cfg: BertConfig,
+    *,
+    deterministic: bool = True,
+    dropout_rng: Array | None = None,
+) -> Array:
+    """Run the BERT encoder. Returns last hidden states (B, S, H) in the
+    residual dtype: float32 in fp32 parity mode, compute_dtype otherwise.
+
+    attention_mask: (B, S) with 1 for real tokens, 0 for padding (None = all
+    ones). Matches HF semantics: additive -10000 bias on padded keys.
+    """
+    B, S = input_ids.shape
+    x, mask_bias, pack = embed_inputs(params, input_ids, attention_mask, cfg)
 
     dropout_rate = 0.0 if deterministic else cfg.hidden_dropout
     if not deterministic:

@@ -19,13 +19,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from blp_tpu.ops import ranking
 
-AXES = ("data", "model")  # candidate axis sharded over both, flattened
-
-
 def shard_entity_table(table, mesh: Mesh):
-    """Place an (Np, d) table with rows sharded across every device. Np must
-    be a multiple of the device count (pad with rows >= num_valid)."""
-    return jax.device_put(table, NamedSharding(mesh, P(AXES)))
+    """Place an (Np, d) table with rows sharded across every device (all mesh
+    axes flattened — works for (data, model) and (data, pipe) meshes alike).
+    Np must be a multiple of the device count (pad with rows >= num_valid)."""
+    return jax.device_put(table, NamedSharding(mesh, P(mesh.axis_names)))
 
 
 def make_sharded_rank_counts(mesh: Mesh, *, rel_model: str, corrupt: str,
@@ -35,18 +33,19 @@ def make_sharded_rank_counts(mesh: Mesh, *, rel_model: str, corrupt: str,
     fn(table, fixed_emb, rel_emb, true_scores, true_pos, filter_pos, num_valid)
       -> dict of (B,) global counts {gt, geq, fgt, fgeq}
 
-    table: (Np, d) sharded over AXES; everything else replicated. true_pos /
-    filter_pos are GLOBAL candidate positions; each shard translates them into
-    its local frame via its axis index.
+    table: (Np, d) sharded over all mesh axes; everything else replicated.
+    true_pos / filter_pos are GLOBAL candidate positions; each shard
+    translates them into its local frame via its axis index.
     """
-    n_dev = mesh.devices.size
+    axes = tuple(mesh.axis_names)
 
     def local_counts(table_l, fixed_emb, rel_emb, true_scores, true_pos,
                      filter_pos, num_valid):
-        # Flattened shard index along the candidate axis.
-        di = jax.lax.axis_index("data")
-        mi = jax.lax.axis_index("model")
-        shard = di * jax.lax.axis_size("model") + mi
+        # Flattened shard index along the candidate axis (row-major over the
+        # mesh axes, matching the P(axes) placement).
+        shard = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            shard = shard * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
         rows = table_l.shape[0]
         offset = shard * rows
 
@@ -60,11 +59,11 @@ def make_sharded_rank_counts(mesh: Mesh, *, rel_model: str, corrupt: str,
             table_l, fixed_emb, rel_emb, true_scores,
             local_true, local_filter, local_valid,
             rel_model=rel_model, corrupt=corrupt, tile=tile)
-        return {k: jax.lax.psum(v, AXES) for k, v in c.items()}
+        return {k: jax.lax.psum(v, axes) for k, v in c.items()}
 
     fn = shard_map(
         local_counts, mesh=mesh,
-        in_specs=(P(AXES), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(axes), P(), P(), P(), P(), P(), P()),
         out_specs=P(),
         # The scan carry inside tiled_rank_counts starts replicated and
         # becomes shard-varying; psum restores replication at the end, so the

@@ -31,6 +31,7 @@ from blp_tpu import evaluation, training
 from blp_tpu.config import ExperimentConfig, parse_overrides
 from blp_tpu.data.datasets import GraphData, TextGraphData
 from blp_tpu.data.filtering import FilterIndex
+from blp_tpu.data import prefetch
 from blp_tpu.data.loader import epoch_batches, num_batches, text_train_batch
 from blp_tpu.data.tokenizers import GloVeTokenizer, WordPieceTokenizer
 from blp_tpu.models import bert, blp
@@ -244,20 +245,26 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     log_every = max(1, int(cfg.log_every_frac * steps_per_epoch))
     last_epoch = cfg.max_epochs if cfg.stop_after_epochs is None else \
         min(cfg.max_epochs, cfg.stop_after_epochs)
+    if mesh is not None:
+        from blp_tpu.parallel import train_parallel
+        place_batch = lambda b: train_parallel.shard_batch(b, mesh)  # noqa: E731
+    else:
+        place_batch = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+
+    def host_batches(epoch: int):
+        """One epoch of host-side batches; runs on the prefetch thread so the
+        numpy description gathers overlap device compute."""
+        shuffle_rng = np.random.default_rng(cfg.seed * 1_000_003 + epoch)
+        for triples in epoch_batches(train_data, cfg.batch_size, rng=shuffle_rng):
+            if is_text:
+                yield text_train_batch(train_data, triples)
+            else:
+                yield {"pos_pairs": triples[:, :2], "rels": triples[:, 2]}
+
     for epoch in range(start_epoch, last_epoch + 1):
         step_losses, t0 = [], time.time()
-        shuffle_rng = np.random.default_rng(cfg.seed * 1_000_003 + epoch)
-        for step_i, triples in enumerate(
-                epoch_batches(train_data, cfg.batch_size, rng=shuffle_rng)):
-            if is_text:
-                batch = text_train_batch(train_data, triples)
-            else:
-                batch = {"pos_pairs": triples[:, :2], "rels": triples[:, 2]}
-            if mesh is not None:
-                from blp_tpu.parallel import train_parallel
-                batch = train_parallel.shard_batch(batch, mesh)
-            else:
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        for step_i, batch in enumerate(prefetch.prefetch_to_device(
+                host_batches(epoch), placement=place_batch)):
             params, opt_state, loss = train_step(
                 params, opt_state, (base_key, global_step), batch)
             global_step += 1
