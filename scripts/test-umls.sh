@@ -1,5 +1,12 @@
 #!/bin/bash
 
+# UMLS itself is not redistributable; when data/umls is absent, synthesize a
+# UMLS-scale stand-in (135 entities, 46 relations, typed => learnable) so the
+# smoke test runs out of the box with no downloads.
+[ -d data/umls ] || python -c "from blp_tpu.data.synth import \
+write_synth_dataset as w; w('data/umls', num_entities=135, num_relations=46, \
+num_triples=5200, num_types=8, seed=0)"
+
 python -m blp_tpu.train link_prediction with \
 dataset='umls' \
 inductive=False \

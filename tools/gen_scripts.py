@@ -27,14 +27,24 @@ WORD_MODELS = {
     "bert-dkrl": ("1e-4", False),
 }
 
-HEADER = "#!/bin/bash\n\npython -m blp_tpu.train link_prediction with \\\n"
+UMLS_PREAMBLE = """\
+# UMLS itself is not redistributable; when data/umls is absent, synthesize a
+# UMLS-scale stand-in (135 entities, 46 relations, typed => learnable) so the
+# smoke test runs out of the box with no downloads.
+[ -d data/umls ] || python -c "from blp_tpu.data.synth import \\
+write_synth_dataset as w; w('data/umls', num_entities=135, num_relations=46, \\
+num_triples=5200, num_types=8, seed=0)"
+
+"""
 
 
-def emit(path: str, args: dict):
+def emit(path: str, args: dict, preamble: str = ""):
     lines = [f"{k}={v} \\" for k, v in args.items()]
     lines[-1] = lines[-1][:-2]
     with open(path, "w") as f:
-        f.write(HEADER + "\n".join(lines) + "\n")
+        f.write("#!/bin/bash\n\n" + preamble +
+                "python -m blp_tpu.train link_prediction with \\\n" +
+                "\n".join(lines) + "\n")
     os.chmod(path, os.stat(path).st_mode | stat.S_IXUSR | stat.S_IXGRP)
 
 
@@ -107,7 +117,7 @@ def main(out_dir: str = "scripts"):
     args = base_args("WN18RR", "bert-bow", "transe", "1e-3", 5, False, "1e-2")
     args.update({"dataset": "'umls'", "inductive": False, "large_dataset": False,
                  "bf16": False})
-    emit(os.path.join(out_dir, "test-umls.sh"), args)
+    emit(os.path.join(out_dir, "test-umls.sh"), args, preamble=UMLS_PREAMBLE)
     names.append("test-umls.sh")
 
     print(f"Wrote {len(names)} scripts to {out_dir}/")
