@@ -29,7 +29,10 @@ class ExperimentConfig:
     lr: float = 2e-5
     use_scheduler: bool = True
     batch_size: int = 64
-    emb_batch_size: int = 512
+    # Reference default is 512 (train.py:50); 2048 measured ~35% faster
+    # phase-1 table builds on v5e (14.7k vs 10.9k entities/s, PERFORMANCE.md)
+    # with identical results — chunk size only affects padding of the tail.
+    emb_batch_size: int = 2048
     eval_batch_size: int = 64
     max_epochs: int = 40
     checkpoint: str | None = None

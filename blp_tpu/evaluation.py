@@ -212,7 +212,7 @@ def eval_link_prediction(
     entities: np.ndarray,
     *,
     batch_size: int = 64,
-    emb_batch_size: int = 512,
+    emb_batch_size: int = 2048,
     tile: int = 65536,
     filter_index: FilterIndex | None = None,
     new_entities: np.ndarray | None = None,

@@ -46,6 +46,17 @@ class BertConfig:
     initializer_range: float = 0.02
     compute_dtype: Any = jnp.float32
     remat: Any = False  # False | True (full) | "dots" (save matmul outputs)
+    # Unroll factor for the layer scan (jax.lax.scan unroll=). Full unroll
+    # (num_layers) turns the loop into straight-line code, which lets XLA
+    # fuse each layer's weight-gradient write directly instead of a
+    # dynamic-update-slice round-trip per layer — measured 23% faster on the
+    # v5e flagship TRAIN step (48.3 vs 62.5 ms; partial unroll is WORSE: the
+    # loop remains and the DUS writes stay). Forward-only encoding has no
+    # weight gradients and the rolled loop measured ~9% faster there (14.7k
+    # vs 13.4k entities/s), so "auto" = full unroll only for the training
+    # pass (deterministic=False) without remat (the rematerialised backward
+    # re-runs the body; rolled measured faster: 61.4 vs 67.3 ms).
+    scan_unroll: Any = "auto"
     # Sequence packing for short descriptions: fold `pack` sequences into one
     # row with a block-diagonal attention mask so the (S, hd, S) attention
     # matmuls are MXU-tile-aligned (128x64x128 at S=32, pack=4) instead of
@@ -293,7 +304,10 @@ def bert_encode(
         body = jax.checkpoint(body, policy=policy)
 
     scanned = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)
-    x, _ = jax.lax.scan(body, x, scanned)
+    unroll = cfg.scan_unroll
+    if unroll == "auto":
+        unroll = 1 if (cfg.remat or deterministic) else cfg.num_layers
+    x, _ = jax.lax.scan(body, x, scanned, unroll=min(unroll, cfg.num_layers))
     return x.reshape(B, S, x.shape[-1]) if pack > 1 else x
 
 
