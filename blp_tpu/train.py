@@ -16,6 +16,7 @@ checkpoints with resume, JSONL metrics stream.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import os.path as osp
@@ -27,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from blp_tpu import checkpoint as ckpt
-from blp_tpu import evaluation, training
+from blp_tpu import evaluation, observers, training
 from blp_tpu.config import ExperimentConfig, parse_overrides
 from blp_tpu.data.datasets import GraphData, TextGraphData
 from blp_tpu.data.filtering import FilterIndex
@@ -115,23 +116,17 @@ def init_model_params(cfg: ExperimentConfig, mcfg: blp.ModelConfig, key):
     return blp.init_params(key, mcfg, word_embeddings=word_emb, hf_state_dict=hf_sd)
 
 
-class MetricsLog:
-    """JSONL metrics stream keyed by run id (the reference streams scalars to
-    Sacred/Mongo, train.py:202-212; a flat file needs no daemon)."""
-
-    def __init__(self, path: str):
-        os.makedirs(osp.dirname(path) or ".", exist_ok=True)
-        self.path = path
-
-    def log(self, step, **scalars):
-        with open(self.path, "a") as f:
-            f.write(json.dumps({"step": step, "time": time.time(), **scalars}) + "\n")
+#: Backwards-compatible alias — the JSONL stream is now one observer among
+#: several (blp_tpu/observers.py: TensorBoard via TENSORBOARD_DIR, Mongo via
+#: DB_URI/DB_NAME — the reference's exact Sacred gating, train.py:28-32).
+MetricsLog = observers.JsonlObserver
 
 
 def link_prediction(cfg: ExperimentConfig) -> dict:
     run_id = cfg.run_id or time.strftime("%Y%m%d-%H%M%S")
     os.makedirs(cfg.out_dir, exist_ok=True)
-    metrics_log = MetricsLog(osp.join(cfg.out_dir, f"metrics-{run_id}.jsonl"))
+    metrics_log = observers.ObserverSet.from_env(cfg.out_dir, run_id)
+    metrics_log.log_config(dataclasses.asdict(cfg))
     log.info(f"Run {run_id}: {cfg}")
 
     # ---- data ------------------------------------------------------------
@@ -329,6 +324,7 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     emb_path = osp.join(cfg.out_dir, f"ent_emb-{run_id}.npz")
     np.savez(emb_path, ent_emb=test_res.ent_emb, entities=test_res.entities)
     log.info(f"Saved entity embeddings to {emb_path}")
+    metrics_log.close()
     return {"run_id": run_id, "test_mrr": test_res.mrr,
             "test_mrr_filt": test_res.mrr_filt, "checkpoint": ckpt_file}
 
