@@ -163,6 +163,9 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt), k.astype(dt),
                         preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(hd) + mask_bias
+    # NOTE (measured, do not re-try): materializing probs in bf16 via an
+    # explicit post-softmax cast is a no-op on v5e — XLA already picks the
+    # consumer dtype (the ctx einsum casts to `dt`) for the buffer.
     probs = jax.nn.softmax(logits, axis=-1)
     if dropout_rngs is not None and dropout_rate > 0.0:
         keep = jax.random.bernoulli(dropout_rngs[0], 1.0 - cfg.attention_dropout,
