@@ -75,6 +75,10 @@ def build_entity_table(
     """
     n = len(entities)
     n_pad = _round_up(max(n, 1), pad_to)
+    # Clamp the chunk to the candidate count (rounded for clean layout): the
+    # 2048 default is tuned for multi-million-entity table builds; on a
+    # 135-entity UMLS graph it would make every encoder call 93% padding.
+    emb_batch_size = min(emb_batch_size, _round_up(max(n, 1), 256))
     # Chunks stay on device (async dispatch pipelines host tokenized-batch
     # prep with encoder compute; a per-chunk host transfer would serialize
     # every chunk on the device->host round trip).
@@ -262,7 +266,12 @@ def eval_link_prediction(
             table = blp.encode_entity_ids(params, cfg, jnp.asarray(entities))
             ent_emb = jnp.pad(table, ((0, n_pad - n), (0, 0)))
     elif ent_emb.shape[0] != n_pad:
-        ent_emb = jnp.pad(ent_emb, ((0, n_pad - int(ent_emb.shape[0])), (0, 0)))
+        # A caller-provided table may be padded for a LARGER tile than the
+        # clamped one (build_entity_table pads to the caller's pad_to); any
+        # multiple of pad_unit works — only pad up, never truncate real rows.
+        target = max(n_pad, _round_up(int(ent_emb.shape[0]), pad_unit))
+        if target > int(ent_emb.shape[0]):
+            ent_emb = jnp.pad(ent_emb, ((0, target - int(ent_emb.shape[0])), (0, 0)))
 
     if mesh is not None:
         from blp_tpu.parallel import eval_parallel

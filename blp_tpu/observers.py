@@ -39,7 +39,9 @@ class JsonlObserver:
             f.write(json.dumps({"step": step, "time": time.time(), **scalars}) + "\n")
 
     def log_config(self, config: dict):
-        self.log("config", **{k: repr(v) for k, v in config.items()})
+        # step=-1 keeps the stream homogeneous (every other row has an int
+        # step; a string sentinel would break numeric consumers).
+        self.log(-1, config={k: repr(v) for k, v in config.items()})
 
     def close(self):
         pass
@@ -47,8 +49,13 @@ class JsonlObserver:
 
 class TensorBoardObserver:
     def __init__(self, log_dir: str, run_id: str = ""):
-        from torch.utils.tensorboard import SummaryWriter
-
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError as e:
+            raise RuntimeError(
+                "TENSORBOARD_DIR is set but torch.utils.tensorboard is not "
+                "importable; unset it or install torch with tensorboard "
+                "support") from e
         self.writer = SummaryWriter(osp.join(log_dir, run_id))
 
     def log(self, step, **scalars):
@@ -69,14 +76,19 @@ class MongoObserver:
     """Reference-parity Mongo sink (train.py:28-32): one document per scalar
     in <DB_NAME>.metrics, keyed by run id."""
 
-    def __init__(self, uri: str, db_name: str, run_id: str):
+    def __init__(self, uri: str, db_name: str, run_id: str,
+                 timeout_ms: int = 5000):
         try:
             import pymongo
         except ImportError as e:
             raise RuntimeError(
                 "DB_URI/DB_NAME are set but pymongo is not installed; "
                 "unset them or install pymongo") from e
-        self.coll = pymongo.MongoClient(uri)[db_name].metrics
+        # A short server-selection timeout: MongoClient connects lazily, so
+        # an unreachable server would otherwise stall EVERY log call for
+        # pymongo's default 30s inside the training loop.
+        self.coll = pymongo.MongoClient(
+            uri, serverSelectionTimeoutMS=timeout_ms)[db_name].metrics
         self.run_id = run_id
 
     def log(self, step, **scalars):
@@ -84,7 +96,7 @@ class MongoObserver:
                               "time": time.time(), **scalars})
 
     def log_config(self, config: dict):
-        self.log("config", **{k: repr(v) for k, v in config.items()})
+        self.log(-1, config={k: repr(v) for k, v in config.items()})
 
     def close(self):
         pass
@@ -96,6 +108,7 @@ class ObserverSet:
 
     def __init__(self, observers):
         self.observers = list(observers)
+        self._warned = set()
 
     @classmethod
     def from_env(cls, out_dir: str, run_id: str) -> "ObserverSet":
@@ -113,9 +126,17 @@ class ObserverSet:
         for i, o in enumerate(self.observers):
             try:
                 o.log(step, **scalars)
-            except Exception:
+            except Exception as e:
                 if i == 0:  # the primary JSONL sink must not fail silently
                     raise
+                name = type(o).__name__
+                if name not in self._warned:  # warn once, then stay quiet
+                    self._warned.add(name)
+                    import logging
+
+                    logging.getLogger("blp_tpu").warning(
+                        f"metrics sink {name} failed ({e!r}); further "
+                        f"failures from it will be dropped silently")
 
     def log_config(self, config: dict):
         for o in self.observers:

@@ -126,7 +126,18 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     run_id = cfg.run_id or time.strftime("%Y%m%d-%H%M%S")
     os.makedirs(cfg.out_dir, exist_ok=True)
     metrics_log = observers.ObserverSet.from_env(cfg.out_dir, run_id)
-    metrics_log.log_config(dataclasses.asdict(cfg))
+    # close() in a finally: a mid-run crash/preemption must still flush
+    # buffered sinks (TensorBoard buffers ~2 min of events) — the metrics
+    # nearest a failure are exactly the ones that matter.
+    try:
+        metrics_log.log_config(dataclasses.asdict(cfg))
+        return _link_prediction(cfg, run_id, metrics_log)
+    finally:
+        metrics_log.close()
+
+
+def _link_prediction(cfg: ExperimentConfig, run_id: str,
+                     metrics_log: observers.ObserverSet) -> dict:
     log.info(f"Run {run_id}: {cfg}")
 
     # ---- data ------------------------------------------------------------
@@ -324,7 +335,6 @@ def link_prediction(cfg: ExperimentConfig) -> dict:
     emb_path = osp.join(cfg.out_dir, f"ent_emb-{run_id}.npz")
     np.savez(emb_path, ent_emb=test_res.ent_emb, entities=test_res.entities)
     log.info(f"Saved entity embeddings to {emb_path}")
-    metrics_log.close()
     return {"run_id": run_id, "test_mrr": test_res.mrr,
             "test_mrr_filt": test_res.mrr_filt, "checkpoint": ckpt_file}
 

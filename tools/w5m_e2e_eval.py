@@ -92,18 +92,31 @@ def main():
     # Large-dataset mode: filter index over the eval split only.
     filter_index = FilterIndex(triples)
 
+    # Phase 1 timed separately (forced through a scalar read — async dispatch
+    # otherwise defers all encode work into the ranking phase).
+    pad_unit = args.tile
+    t0 = time.time()
+    ent_emb = evaluation.build_entity_table(
+        lambda tok, mask: blp.encode_jit(params, cfg, tok, mask),
+        text, entities, emb_batch_size=args.emb_batch, dim=cfg.entity_dim,
+        pad_to=pad_unit, log=log)
+    float(ent_emb[0, 0])
+    t_encode = time.time() - t0
+
     t0 = time.time()
     res = evaluation.eval_link_prediction(
         params, cfg, triples, text, entities,
         batch_size=args.batch, emb_batch_size=args.emb_batch, tile=args.tile,
-        filter_index=filter_index, log=log)
-    t_eval = time.time() - t0
+        filter_index=filter_index, ent_emb=ent_emb, log=log)
+    t_rank = time.time() - t0
 
     print(json.dumps({
         "metric": "w5m_e2e_eval_seconds",
         "n_candidates": N, "n_triples": T,
         "rel_model": args.rel_model,
-        "value": round(t_eval, 1), "unit": "s",
+        "value": round(t_encode + t_rank, 1), "unit": "s",
+        "encode_seconds": round(t_encode, 1),
+        "rank_seconds": round(t_rank, 1),
         "mrr_filt": res.mrr_filt,
     }))
 
