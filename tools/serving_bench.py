@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--rel-model", default="transe")
     ap.add_argument("--batches", type=int, nargs="*", default=[1, 8, 64])
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--approx", action="store_true",
+                    help="lax.approx_max_k in-tile selection (~0.95 recall)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -42,7 +44,8 @@ def main():
                           loss_fn="margin", dim=args.d, num_relations=64,
                           encoder=bert.BertConfig.tiny())
     params = blp.init_params(jax.random.key(0), cfg)
-    srv = LinkPredictor(params=params, cfg=cfg, tile=args.tile)
+    srv = LinkPredictor(params=params, cfg=cfg, tile=args.tile,
+                        approx=args.approx)
     table = rng.standard_normal((args.n, args.d)).astype(np.float32)
     srv.set_candidates(table, np.arange(args.n))
 
@@ -61,7 +64,7 @@ def main():
         print(json.dumps({
             "metric": "serving_topk_latency_ms", "batch": B,
             "n_candidates": args.n, "k": args.k,
-            "rel_model": args.rel_model,
+            "rel_model": args.rel_model, "approx": args.approx,
             "p50": round(float(np.percentile(lat, 50)), 2),
             "p95": round(float(np.percentile(lat, 95)), 2),
             "qps": round(B / (np.median(lat) / 1e3), 1),
