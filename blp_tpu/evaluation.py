@@ -114,11 +114,8 @@ def _mesh_rank_batch(mesh, rel_model: str, tile: int):
 
     from blp_tpu.parallel import eval_parallel
 
-    count_fns = {
-        corrupt: eval_parallel.make_sharded_rank_counts(
-            mesh, rel_model=rel_model, corrupt=corrupt, tile=tile)
-        for corrupt in ("head", "tail")
-    }
+    count_fn = eval_parallel.make_sharded_rank_counts_bidir(
+        mesh, rel_model=rel_model, tile=tile)
 
     @jax.jit
     def fn(table, head_pos, tail_pos, rel_table, rel_ids, num_valid,
@@ -128,22 +125,17 @@ def _mesh_rank_batch(mesh, rel_model: str, tile: int):
         rel_emb = rel_table[rel_ids]
         head_emb = table[head_pos]
         tail_emb = table[tail_pos]
-        out = {}
-        for direction, fixed_emb, own_emb, own_pos, filt in (
-            ("h", tail_emb, head_emb, head_pos, heads_filter),
-            ("t", head_emb, tail_emb, tail_pos, tails_filter),
-        ):
-            corrupt = "head" if direction == "h" else "tail"
-            true_scores = ranking.score_pairs(
-                own_emb, fixed_emb, rel_emb,
-                rel_model=rel_model, corrupt=corrupt)[:, None]
-            c = count_fns[corrupt](table, fixed_emb, rel_emb, true_scores,
-                                   own_pos, filt, num_valid)
-            out[f"{direction}_gt"] = c["gt"]
-            out[f"{direction}_geq"] = c["geq"] + 1
-            out[f"{direction}_fgt"] = c["fgt"]
-            out[f"{direction}_fgeq"] = c["fgeq"]
-        return out
+        h_true = ranking.score_pairs(
+            head_emb, tail_emb, rel_emb, rel_model=rel_model,
+            corrupt="head")[:, None]
+        t_true = ranking.score_pairs(
+            tail_emb, head_emb, rel_emb, rel_model=rel_model,
+            corrupt="tail")[:, None]
+        c = count_fn(table, head_emb, tail_emb, rel_emb, h_true, t_true,
+                     head_pos, tail_pos, heads_filter, tails_filter,
+                     num_valid)
+        # Self-tie: +1 to geq in both settings (reference: utils.py:104-105).
+        return {k: v + 1 if k.endswith("_geq") else v for k, v in c.items()}
 
     _MESH_RANK_CACHE[key] = fn
     return fn
@@ -173,6 +165,25 @@ def _rank_batch(
     rel_emb = rel_table[rel_ids]
     head_emb = table[head_pos]
     tail_emb = table[tail_pos]
+
+    if not use_pallas:
+        # Fused both-direction stream: one pass over the table instead of
+        # two (the bilinear rank pass is table-read-bound; see
+        # ops/ranking.py::tiled_rank_counts_bidir).
+        h_true = ranking.score_pairs(
+            head_emb, tail_emb, rel_emb, rel_model=rel_model,
+            corrupt="head")[:, None]
+        t_true = ranking.score_pairs(
+            tail_emb, head_emb, rel_emb, rel_model=rel_model,
+            corrupt="tail")[:, None]
+        c = ranking.tiled_rank_counts_bidir(
+            table, head_emb, tail_emb, rel_emb, h_true, t_true,
+            head_pos, tail_pos, heads_filter, tails_filter, num_valid,
+            rel_model=rel_model, tile=tile)
+        # Self-tie: the true entity contributes exactly 1 to geq in both the
+        # raw and filtered settings (reference: utils.py:104-105 counts it
+        # via scores >= true at the self position).
+        return {k: v + 1 if k.endswith("_geq") else v for k, v in c.items()}
 
     out = {}
     for direction, fixed_emb, own_emb, own_pos, filt in (

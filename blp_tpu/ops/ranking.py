@@ -157,6 +157,88 @@ def tiled_rank_counts(
     return {"gt": gt, "geq": geq, "fgt": fgt, "fgeq": fgeq}
 
 
+@functools.partial(jax.jit, static_argnames=("rel_model", "tile"))
+def tiled_rank_counts_bidir(
+    table: Array,
+    head_emb: Array,
+    tail_emb: Array,
+    rel_emb: Array,
+    h_true_scores: Array,
+    t_true_scores: Array,
+    head_pos: Array,
+    tail_pos: Array,
+    heads_filter: Array,
+    tails_filter: Array,
+    num_valid: Array,
+    *,
+    rel_model: str,
+    tile: int = 65536,
+):
+    """Both-direction rank counts in ONE stream over the candidate table.
+
+    The evaluator scores every candidate as head AND as tail per eval batch
+    (reference: train.py:146-147). Running the two directions as separate
+    scans reads the (N, d) table from HBM twice; for the bilinear scorers the
+    pass is table-read-bound (PERFORMANCE.md), so fusing the directions into
+    a single scan ~halves the rank phase. Per tile, the two directions'
+    dual queries are stacked into one (2B, d) x (d, tile) matmul — a larger,
+    better-shaped MXU op than either direction alone. TransE (no dual form)
+    still shares the tile read, with both broadcast-L1 scores computed in
+    the tile body.
+
+    Count semantics are identical to tiled_rank_counts (positional self
+    exclusion, in-tile filter gather). Returns dict with 'h_'/'t_' prefixed
+    gt/geq/fgt/fgeq, each (B,) int32 — h_* for head-corruption (candidates
+    replace the head; fixed side is the tail), t_* for tail-corruption.
+    """
+    n_pad, d = table.shape
+    b = head_emb.shape[0]
+    n_tiles = n_pad // tile
+
+    q_h = dual_query(tail_emb, rel_emb, rel_model=rel_model, corrupt="head")
+    bilinear = q_h is not None
+    if bilinear:
+        q_t = dual_query(head_emb, rel_emb, rel_model=rel_model, corrupt="tail")
+        q_both = jnp.concatenate([q_h, q_t], axis=0)        # (2B, d)
+    score = scoring.get_score_fn(rel_model)
+
+    def direction_counts(s, true_scores, true_pos, filter_pos, start, cols):
+        valid = (cols < num_valid) & (cols != true_pos[:, None])
+        gt = ((s > true_scores) & valid).sum(-1, dtype=jnp.int32)
+        geq = ((s >= true_scores) & valid).sum(-1, dtype=jnp.int32)
+        local = filter_pos - start
+        in_tile = (filter_pos >= 0) & (local >= 0) & (local < tile)
+        s_f = jnp.take_along_axis(s, jnp.clip(local, 0, tile - 1), axis=1)
+        fgt = ((s_f > true_scores) & in_tile).sum(-1, dtype=jnp.int32)
+        fgeq = ((s_f >= true_scores) & in_tile).sum(-1, dtype=jnp.int32)
+        return gt, geq, fgt, fgeq
+
+    def body(carry, tile_idx):
+        start = tile_idx * tile
+        tile_emb = jax.lax.dynamic_slice(table, (start, 0), (tile, d))
+        if bilinear:
+            s_both = jnp.dot(q_both, tile_emb.T,
+                             preferred_element_type=jnp.float32)  # (2B, tile)
+            s_h, s_t = s_both[:b], s_both[b:]
+        else:
+            s_h = score(tile_emb[None, :, :], tail_emb[:, None, :],
+                        rel_emb[:, None, :])
+            s_t = score(head_emb[:, None, :], tile_emb[None, :, :],
+                        rel_emb[:, None, :])
+        cols = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        h_c = direction_counts(s_h, h_true_scores, head_pos, heads_filter,
+                               start, cols)
+        t_c = direction_counts(s_t, t_true_scores, tail_pos, tails_filter,
+                               start, cols)
+        return tuple(a + x for a, x in zip(carry, h_c + t_c)), None
+
+    zeros = (jnp.zeros(b, jnp.int32),) * 8
+    acc, _ = jax.lax.scan(body, zeros, jnp.arange(n_tiles))
+    names = ("h_gt", "h_geq", "h_fgt", "h_fgeq",
+             "t_gt", "t_geq", "t_fgt", "t_fgeq")
+    return dict(zip(names, acc))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "rel_model", "corrupt",
                                              "tile", "approx"))
 def tiled_top_k(

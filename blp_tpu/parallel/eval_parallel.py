@@ -72,3 +72,45 @@ def make_sharded_rank_counts(mesh: Mesh, *, rel_model: str, corrupt: str,
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def make_sharded_rank_counts_bidir(mesh: Mesh, *, rel_model: str, tile: int):
+    """Both-direction sharded counting in ONE local table stream per device
+    (see ops/ranking.py::tiled_rank_counts_bidir — the bilinear rank pass is
+    table-read-bound, so fusing the directions ~halves it; the psum count
+    semantics are unchanged).
+
+    fn(table, head_emb, tail_emb, rel_emb, h_true_scores, t_true_scores,
+       head_pos, tail_pos, heads_filter, tails_filter, num_valid)
+      -> dict of (B,) global counts with 'h_'/'t_' prefixed gt/geq/fgt/fgeq.
+    """
+    axes = tuple(mesh.axis_names)
+
+    def local_counts(table_l, head_emb, tail_emb, rel_emb, h_true, t_true,
+                     head_pos, tail_pos, heads_filter, tails_filter,
+                     num_valid):
+        shard = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            shard = shard * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        rows = table_l.shape[0]
+        offset = shard * rows
+
+        local_head = head_pos - offset
+        local_tail = tail_pos - offset
+        local_hf = jnp.where(heads_filter >= 0, heads_filter - offset, -1)
+        local_tf = jnp.where(tails_filter >= 0, tails_filter - offset, -1)
+        local_valid = jnp.clip(num_valid - offset, 0, rows)
+
+        c = ranking.tiled_rank_counts_bidir(
+            table_l, head_emb, tail_emb, rel_emb, h_true, t_true,
+            local_head, local_tail, local_hf, local_tf, local_valid,
+            rel_model=rel_model, tile=tile)
+        return {k: jax.lax.psum(v, axes) for k, v in c.items()}
+
+    fn = shard_map(
+        local_counts, mesh=mesh,
+        in_specs=(P(axes),) + (P(),) * 10,
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)

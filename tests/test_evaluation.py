@@ -253,3 +253,38 @@ def test_precomputed_table_padded_for_larger_tile(setup):
         batch_size=4, emb_batch_size=16, tile=16, ent_emb=jnp.asarray(big))
     assert res.mrr == pytest.approx(base.mrr, rel=1e-6)
     assert res.hits == base.hits
+
+
+@pytest.mark.parametrize("rel_model", ["transe", "distmult", "complex", "simple"])
+def test_bidir_counts_match_unidirectional(rel_model):
+    """tiled_rank_counts_bidir (one table stream, both directions) must give
+    the exact counts of two independent tiled_rank_counts passes."""
+    from blp_tpu.ops import ranking
+
+    rng = np.random.default_rng(3)
+    n, d, b, tile = 64, 8, 5, 16
+    table = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    num_valid = jnp.int32(n - 7)
+    head_pos = jnp.asarray(rng.integers(0, n - 7, b), jnp.int32)
+    tail_pos = jnp.asarray(rng.integers(0, n - 7, b), jnp.int32)
+    rel_emb = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    hf = jnp.asarray(rng.integers(-1, n - 7, (b, 3)), jnp.int32)
+    tf = jnp.asarray(rng.integers(-1, n - 7, (b, 3)), jnp.int32)
+    head_emb, tail_emb = table[head_pos], table[tail_pos]
+
+    h_true = ranking.score_pairs(head_emb, tail_emb, rel_emb,
+                                 rel_model=rel_model, corrupt="head")[:, None]
+    t_true = ranking.score_pairs(tail_emb, head_emb, rel_emb,
+                                 rel_model=rel_model, corrupt="tail")[:, None]
+    fused = ranking.tiled_rank_counts_bidir(
+        table, head_emb, tail_emb, rel_emb, h_true, t_true,
+        head_pos, tail_pos, hf, tf, num_valid, rel_model=rel_model, tile=tile)
+    h = ranking.tiled_rank_counts(table, tail_emb, rel_emb, h_true, head_pos,
+                                  hf, num_valid, rel_model=rel_model,
+                                  corrupt="head", tile=tile)
+    t = ranking.tiled_rank_counts(table, head_emb, rel_emb, t_true, tail_pos,
+                                  tf, num_valid, rel_model=rel_model,
+                                  corrupt="tail", tile=tile)
+    for k in ("gt", "geq", "fgt", "fgeq"):
+        np.testing.assert_array_equal(fused[f"h_{k}"], h[k])
+        np.testing.assert_array_equal(fused[f"t_{k}"], t[k])

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--tile", type=int, default=65536)
     ap.add_argument("--rel-model", default="transe")
+    ap.add_argument("--bidir", action="store_true",
+                    help="A/B the fused both-direction stream against two "
+                         "unidirectional passes")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -64,14 +67,65 @@ def main():
     int(np.asarray(c["gt"])[0])
     dt = (time.time() - t0) / reps
 
-    print(json.dumps({
+    out = {
         "n_candidates": N, "batch": B, "tile": tile, "rel_model": args.rel_model,
         "table_gb": round(Np * d * 4 / 2**30, 2),
         "setup_s": round(setup, 1),
         "rank_pass_s": round(dt, 3),
         "cand_scores_per_sec": round(B * N / dt / 1e6, 1),
         "unit": "M scores/s",
-    }))
+    }
+
+    if args.bidir:
+        head_emb = table[true_pos]
+        tail_pos = jnp.asarray(rng.integers(0, N, B).astype(np.int32))
+        tail_emb = table[tail_pos]
+        h_ts = ranking.score_pairs(head_emb, tail_emb, rel,
+                                   rel_model=args.rel_model,
+                                   corrupt="head")[:, None]
+        t_ts = ranking.score_pairs(tail_emb, head_emb, rel,
+                                   rel_model=args.rel_model,
+                                   corrupt="tail")[:, None]
+
+        def two_pass():
+            a = ranking.tiled_rank_counts(
+                table, tail_emb, rel, h_ts, true_pos, filt, nv,
+                rel_model=args.rel_model, corrupt="head", tile=tile)
+            b2 = ranking.tiled_rank_counts(
+                table, head_emb, rel, t_ts, tail_pos, filt, nv,
+                rel_model=args.rel_model, corrupt="tail", tile=tile)
+            return a, b2
+
+        def fused():
+            return ranking.tiled_rank_counts_bidir(
+                table, head_emb, tail_emb, rel, h_ts, t_ts, true_pos,
+                tail_pos, filt, filt, nv, rel_model=args.rel_model, tile=tile)
+
+        a, b2 = two_pass()
+        int(np.asarray(a["gt"])[0]); int(np.asarray(b2["gt"])[0])
+        t0 = time.time()
+        for _ in range(reps):
+            a, b2 = two_pass()
+        int(np.asarray(a["gt"])[0]); int(np.asarray(b2["gt"])[0])
+        dt_two = (time.time() - t0) / reps
+
+        f = fused()
+        int(np.asarray(f["h_gt"])[0])
+        t0 = time.time()
+        for _ in range(reps):
+            f = fused()
+        int(np.asarray(f["h_gt"])[0])
+        dt_fused = (time.time() - t0) / reps
+
+        assert np.array_equal(np.asarray(f["h_gt"]), np.asarray(a["gt"]))
+        assert np.array_equal(np.asarray(f["t_gt"]), np.asarray(b2["gt"]))
+        out.update({
+            "both_dir_two_pass_s": round(dt_two, 3),
+            "both_dir_fused_s": round(dt_fused, 3),
+            "fused_speedup": round(dt_two / dt_fused, 2),
+        })
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
