@@ -60,6 +60,19 @@ class ExperimentConfig:
     num_data_shards: int = 1            # data-parallel shards (mesh 'data' axis)
     num_model_shards: int = 1           # tensor-parallel shards ('model' axis)
     log_every_frac: float = 0.05        # batch-loss logging interval
+    # Multi-host (pod-slice) bring-up over DCN. When coordinator_address is
+    # set, jax.distributed initializes before the mesh is built and the epoch
+    # loop switches to per-host data loading (parallel/multihost.py:
+    # LocalBatcher + global_batch — each host materializes only its rows of
+    # every global batch). Replaces the reference's single-process
+    # DataParallel (train.py:329-330) at host scale.
+    coordinator_address: str | None = None  # "host:port" of process 0
+    num_processes: int | None = None
+    process_id: int | None = None
+    multihost_data: bool = False        # force the LocalBatcher/global_batch
+                                        # data path even single-process (the
+                                        # path multi-host runs take; used by
+                                        # tests — requires a mesh)
 
     @property
     def dataset_dir(self) -> str:

@@ -31,6 +31,7 @@ def write_synth_dataset(
     inductive_frac: float = 0.2,
     seed: int = 0,
     num_types: int = 0,
+    distinct_type_pairs: bool = False,
 ) -> str:
     """Write a synthetic dataset under `directory` and return it.
 
@@ -65,6 +66,13 @@ def write_synth_dataset(
         # Every type heads at least one relation, so the connectivity pass
         # below can always attach an isolated entity as a head.
         rel_head_type[np.arange(num_types)] = np.arange(num_types)
+        if distinct_type_pairs:
+            # ht[r] != tt[r]: no within-type relations. TransE geometry then
+            # has a cycle-free solution (type centroids + r as the centroid
+            # difference), making high absolute MRR provably reachable —
+            # used by the strict learnability tests.
+            same = rel_head_type == rel_tail_type
+            rel_tail_type[same] = (rel_head_type[same] + 1) % num_types
         by_type = [np.flatnonzero(types == c) for c in range(num_types)]
 
     ents = [f"ent_{i:04d}" for i in range(num_entities)]
@@ -189,3 +197,24 @@ def write_synth_dataset(
                 f.write(f"{ents[i]}\tclass_{label}\n")
 
     return directory
+
+
+def write_tiny_glove(path_prefix: str, vocab_file: str, *, dim: int = 300,
+                     seed: int = 0) -> str:
+    """Write a tiny GloVe pair (`<prefix>.pt` tensor + `<prefix>-maps.pt`
+    word->id dict, the reference's torch format, data.py:303-334) built from
+    a dataset vocab. Id 0 is reserved for padding (masks are id > 0); the
+    dict includes '[UNK]'. Used by tests and offline runs of glove-* models,
+    which this zero-egress environment cannot download real GloVe for."""
+    import torch
+
+    words = [w for w in open(vocab_file).read().splitlines() if w]
+    w2i = {"[UNK]": 1}
+    for w in words:
+        if w != "[PAD]" and w not in w2i:
+            w2i[w] = len(w2i) + 1
+    rng = np.random.default_rng(seed)
+    table = rng.standard_normal((max(w2i.values()) + 1, dim)).astype(np.float32)
+    torch.save(torch.from_numpy(table * 0.1), f"{path_prefix}.pt")
+    torch.save(w2i, f"{path_prefix}-maps.pt")
+    return f"{path_prefix}.pt"

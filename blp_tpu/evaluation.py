@@ -65,20 +65,23 @@ def build_entity_table(
     emb_batch_size: int,
     dim: int,
     pad_to: int = 1,
+    chunk_multiple: int = 256,
     log=None,
 ) -> jax.Array:
     """Encode all candidate entities into an (Np, d) table.
 
     encode_batch: jitted (tok (E, L), mask (E, L)) -> (E, d). Chunks are
     padded to emb_batch_size so the encoder compiles once
-    (reference phase 1: train.py:95-123).
+    (reference phase 1: train.py:95-123). chunk_multiple forces the chunk to
+    a multiple (mesh encodes need rows divisible by the device count).
     """
     n = len(entities)
     n_pad = _round_up(max(n, 1), pad_to)
     # Clamp the chunk to the candidate count (rounded for clean layout): the
     # 2048 default is tuned for multi-million-entity table builds; on a
     # 135-entity UMLS graph it would make every encoder call 93% padding.
-    emb_batch_size = min(emb_batch_size, _round_up(max(n, 1), 256))
+    emb_batch_size = min(_round_up(emb_batch_size, chunk_multiple),
+                         _round_up(max(n, 1), max(256, chunk_multiple)))
     # Chunks stay on device (async dispatch pipelines host tokenized-batch
     # prep with encoder compute; a per-chunk host transfer would serialize
     # every chunk on the device->host round trip).
@@ -141,82 +144,65 @@ def _mesh_rank_batch(mesh, rel_model: str, tile: int):
     return fn
 
 
-def _use_pallas_default(rel_model: str, dim: int) -> bool:
-    """Default OFF. Measured at Wikidata5M scale on v5e (4.8M candidates,
-    B=64, tile=32768) the XLA broadcast-L1 fusion ranks in 95 ms/pass — about
-    two thirds of VPU speed-of-light — while the Pallas kernel
-    (ops/pallas_ranking.py) takes 184 ms: its per-row loop and O(B*F*tile)
-    filter-mask rebuild lose to XLA's fused elementwise+reduce. The kernel
-    remains available (use_pallas=True) and correctness-tested."""
-    return False
+def _use_pallas_default(rel_model: str) -> bool:
+    """The Pallas rank kernel (ops/pallas_ranking.py) is the default for
+    TransE: its batch-vectorized transposed-layout stream measured 1.5x the
+    XLA broadcast-L1 fusion at Wikidata5M scale on v5e (PERFORMANCE.md).
+    The bilinear scorers collapse to MXU matmuls, where the XLA path already
+    runs at the table-read bound — no kernel needed."""
+    return rel_model == "transe"
+
+
+def _pallas_tile(tile: int) -> int:
+    """Largest kernel tile <= 1024 dividing `tile`, so the table padding (a
+    multiple of `tile`) stays a multiple of the kernel tile for ANY user
+    tile. 1024 lanes was the fastest measured width on v5e (PERFORMANCE.md);
+    bigger tiles blow the kernel's scoped VMEM."""
+    return next(t for t in range(min(tile, 1024), 0, -1) if tile % t == 0)
 
 
 @functools.partial(jax.jit, static_argnames=("rel_model", "tile", "use_pallas"))
 def _rank_batch(
     table, head_pos, tail_pos, rel_table, rel_ids, num_valid,
     heads_filter, tails_filter, *, rel_model: str, tile: int,
-    use_pallas: bool = False,
+    use_pallas: bool = False, table_t=None,
 ):
     """Raw + filtered rank counts for one eval batch, both directions.
 
     Returns dict of (B,) arrays; 'h_' prefixes head-corruption (predict the
-    head given (?, t, r)), 't_' tail-corruption.
+    head given (?, t, r)), 't_' tail-corruption. Both paths stream the table
+    ONCE for the two directions; use_pallas routes TransE through the Pallas
+    kernel (table_t: the pre-transposed table, built once per eval).
     """
     rel_emb = rel_table[rel_ids]
     head_emb = table[head_pos]
     tail_emb = table[tail_pos]
 
-    if not use_pallas:
+    h_true = ranking.score_pairs(
+        head_emb, tail_emb, rel_emb, rel_model=rel_model,
+        corrupt="head")[:, None]
+    t_true = ranking.score_pairs(
+        tail_emb, head_emb, rel_emb, rel_model=rel_model,
+        corrupt="tail")[:, None]
+    if use_pallas:
+        from blp_tpu.ops import pallas_ranking
+
+        c = pallas_ranking.transe_tiled_rank_counts_bidir(
+            table, head_emb, tail_emb, rel_emb, h_true, t_true,
+            head_pos, tail_pos, heads_filter, tails_filter, num_valid,
+            tile=_pallas_tile(tile), table_t=table_t)
+    else:
         # Fused both-direction stream: one pass over the table instead of
         # two (the bilinear rank pass is table-read-bound; see
         # ops/ranking.py::tiled_rank_counts_bidir).
-        h_true = ranking.score_pairs(
-            head_emb, tail_emb, rel_emb, rel_model=rel_model,
-            corrupt="head")[:, None]
-        t_true = ranking.score_pairs(
-            tail_emb, head_emb, rel_emb, rel_model=rel_model,
-            corrupt="tail")[:, None]
         c = ranking.tiled_rank_counts_bidir(
             table, head_emb, tail_emb, rel_emb, h_true, t_true,
             head_pos, tail_pos, heads_filter, tails_filter, num_valid,
             rel_model=rel_model, tile=tile)
-        # Self-tie: the true entity contributes exactly 1 to geq in both the
-        # raw and filtered settings (reference: utils.py:104-105 counts it
-        # via scores >= true at the self position).
-        return {k: v + 1 if k.endswith("_geq") else v for k, v in c.items()}
-
-    out = {}
-    for direction, fixed_emb, own_emb, own_pos, filt in (
-        ("h", tail_emb, head_emb, head_pos, heads_filter),
-        ("t", head_emb, tail_emb, tail_pos, tails_filter),
-    ):
-        corrupt = "head" if direction == "h" else "tail"
-        true_scores = ranking.score_pairs(
-            own_emb, fixed_emb, rel_emb, rel_model=rel_model, corrupt=corrupt)[:, None]
-        if use_pallas:
-            from blp_tpu.ops import pallas_ranking
-
-            # The kernel's in-VMEM filter mask bounds its tile (see
-            # ops/pallas_ranking.py). Use the largest divisor of `tile`
-            # within the bound so the table padding (a multiple of `tile`)
-            # stays a multiple of the kernel tile for ANY user tile.
-            ptile = next(t for t in range(min(tile, 8192), 0, -1)
-                         if tile % t == 0)
-            c = pallas_ranking.transe_tiled_rank_counts(
-                table, fixed_emb, rel_emb, true_scores, own_pos, filt,
-                num_valid, corrupt=corrupt, tile=ptile)
-        else:
-            c = ranking.tiled_rank_counts(
-                table, fixed_emb, rel_emb, true_scores, own_pos, filt, num_valid,
-                rel_model=rel_model, corrupt=corrupt, tile=tile)
-        # Self-tie: the true entity contributes exactly 1 to geq in both the
-        # raw and filtered settings (reference: utils.py:104-105 counts it via
-        # scores >= true at the self position).
-        out[f"{direction}_gt"] = c["gt"]
-        out[f"{direction}_geq"] = c["geq"] + 1
-        out[f"{direction}_fgt"] = c["fgt"]
-        out[f"{direction}_fgeq"] = c["fgeq"]
-    return out
+    # Self-tie: the true entity contributes exactly 1 to geq in both the
+    # raw and filtered settings (reference: utils.py:104-105 counts it
+    # via scores >= true at the self position).
+    return {k: v + 1 if k.endswith("_geq") else v for k, v in c.items()}
 
 
 def eval_link_prediction(
@@ -266,13 +252,28 @@ def eval_link_prediction(
 
     if ent_emb is None:
         if cfg.is_inductive:
-            def encode_batch(tok, mask):
-                return blp.encode_jit(params, cfg, tok, mask)
+            chunk_multiple = 256
+            if mesh is not None:
+                # Phase 1 sharded over the mesh: each device encodes its slice
+                # of every chunk (GSPMD data-parallel; the reference builds the
+                # whole table on one device, train.py:95-123). Chunk rows must
+                # divide over devices — 4x for BERT seq packing per shard.
+                from blp_tpu.parallel import eval_parallel
+
+                params_r = eval_parallel.replicate(params, mesh)
+                sharded_encode = eval_parallel.make_sharded_encode(mesh, cfg)
+                chunk_multiple = 4 * mesh.devices.size
+
+                def encode_batch(tok, mask):
+                    return sharded_encode(params_r, tok, mask)
+            else:
+                def encode_batch(tok, mask):
+                    return blp.encode_jit(params, cfg, tok, mask)
 
             ent_emb = build_entity_table(
                 encode_batch, text_data, entities,
                 emb_batch_size=emb_batch_size, dim=cfg.entity_dim,
-                pad_to=pad_unit, log=log)
+                pad_to=pad_unit, chunk_multiple=chunk_multiple, log=log)
         else:
             table = blp.encode_entity_ids(params, cfg, jnp.asarray(entities))
             ent_emb = jnp.pad(table, ((0, n_pad - n), (0, 0)))
@@ -292,6 +293,32 @@ def eval_link_prediction(
 
     rel_emb_table = params["rel_emb"]
     num_valid = jnp.asarray(n, jnp.int32)
+
+    # Mosaic requires the kernel's (d, C) table block to have C % 128 == 0
+    # or C == Np (lane-tiling constraint); tiny candidate sets fall back to
+    # the XLA stream rather than failing to lower on hardware.
+    pt = _pallas_tile(tile)
+    pallas_lowers = pt % 128 == 0 or pt == n_pad
+    if use_pallas is None:
+        use_pallas = (mesh is None and pallas_lowers
+                      and _use_pallas_default(cfg.rel_model))
+    elif use_pallas:
+        if cfg.rel_model != "transe":
+            raise ValueError("use_pallas=True requires rel_model='transe' "
+                             "(the kernel implements the L1 stream; bilinear "
+                             "scorers already ride the MXU)")
+        if not pallas_lowers:
+            raise ValueError(
+                f"use_pallas=True needs a kernel tile divisible by 128 "
+                f"(got {pt} from tile={tile}); raise `tile` or pad the "
+                f"candidate set")
+    ent_emb_t = None
+    if use_pallas and mesh is None:
+        # One transpose per eval (two HBM passes) buys the kernel its
+        # contiguous (d_pad, Np) stream layout for every batch.
+        from blp_tpu.ops import pallas_ranking
+
+        ent_emb_t = pallas_ranking.prepare_table_t(ent_emb)
 
     total_gt, total_geq = [], []
     filt_gt, filt_geq = [], []
@@ -335,9 +362,7 @@ def eval_link_prediction(
                 ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),
                 rel_emb_table, jnp.asarray(batch[:, 2]), num_valid,
                 jnp.asarray(hf), jnp.asarray(tf), rel_model=cfg.rel_model,
-                tile=tile,
-                use_pallas=(use_pallas if use_pallas is not None
-                            else _use_pallas_default(cfg.rel_model, cfg.entity_dim)))
+                tile=tile, use_pallas=use_pallas, table_t=ent_emb_t)
         # Counts stay on device until the end of the loop — one host sync per
         # eval, not per batch (dispatch pipelines with host-side filter prep).
         pending_counts.append((counts, real))

@@ -31,12 +31,32 @@ from blp_tpu.parallel import mesh as mesh_lib
 
 def init_parallel_state(params, optimizer, mesh: Mesh, *,
                         tensor_parallel: bool = True):
-    """Shard params per the TP layout and build a matching optimizer state
-    (opt-state leaves inherit the param shardings through jit propagation)."""
+    """Shard params per the TP layout and build a matching optimizer state.
+
+    The opt state is COMMITTED to the mesh explicitly: Adam's mu/nu follow the
+    param shardings, everything else (step counts, schedule state) replicates.
+    jit propagation alone does NOT do this — optimizer.init's zeros_like
+    outputs are input-value-independent, so XLA leaves them uncommitted on the
+    default device; a later resume that re-places leaves \"like the template\"
+    would then commit the opt state to one device against 8-device params."""
     shardings = mesh_lib.param_shardings(params, mesh,
                                          tensor_parallel=tensor_parallel)
     params = jax.device_put(params, shardings)
     opt_state = jax.jit(optimizer.init)(params)
+    repl = NamedSharding(mesh, P())
+
+    def place(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=jax.device_put(node.count, repl),
+                mu=jax.device_put(node.mu, shardings),
+                nu=jax.device_put(node.nu, shardings))
+        return jax.tree.map(lambda x: jax.device_put(x, repl), node)
+
+    if type(opt_state) is tuple:  # optax.chain: plain tuple of sub-states
+        opt_state = tuple(place(s) for s in opt_state)
+    else:
+        opt_state = place(opt_state)
     return params, opt_state, shardings
 
 

@@ -48,6 +48,13 @@ class LinkPredictor:
     tile: int = 65536
     # Approximate in-tile top-k (lax.approx_max_k, ~0.95 per-tile recall):
     # 1.8x lower single-query latency at Wikidata5M scale (PERFORMANCE.md).
+    # When to flip it ON: latency-sensitive interactive serving where the
+    # top-k feeds a human or a reranker — a missed candidate must be both in
+    # the true top-k AND dropped inside its own tile, so end-to-end recall
+    # stays >=0.95 and the p50 drops 29 vs 52 ms (B=1). Keep it OFF (exact)
+    # for offline evaluation, exports, or anything whose numbers land in a
+    # paper/dashboard — the 23 ms saved does not justify nondeterministic
+    # recall there.
     approx: bool = False
     # candidate state
     _table: jax.Array | None = None          # (Np, d) padded

@@ -122,7 +122,45 @@ def init_model_params(cfg: ExperimentConfig, mcfg: blp.ModelConfig, key):
 MetricsLog = observers.JsonlObserver
 
 
+def _save_state(path: str, tree, metadata: dict) -> None:
+    """Checkpoint write that is safe on a multi-process (pod) run: every
+    process participates in materializing the (possibly sharded) state, but
+    only process 0 writes the file — otherwise each host would race on the
+    same path on shared storage."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # Collective: replicates cross-process shards onto every host so the
+        # host-local write below sees the full arrays. Must run on ALL
+        # processes (it is an all-gather), hence outside the index gate.
+        tree = multihost_utils.process_allgather(tree)
+    if jax.process_index() == 0:
+        ckpt.save_pytree(path, tree, metadata)
+
+
+def _load_like(path: str, template, metadata_only: bool = False):
+    """Load a checkpoint and re-place every leaf with the TEMPLATE's sharding
+    (mesh runs: params/opt-state live sharded over the mesh; a plain
+    jnp.asarray would put the loaded copy on one device while the batch stays
+    sharded — the next step would then mix placements)."""
+    tree, meta = ckpt.load_pytree(path, template=template)
+
+    def place(v, t):
+        # Only commit to multi-device (mesh) shardings; a single-device
+        # template leaf stays an uncommitted jnp array (committing it to one
+        # device would conflict with mesh-committed peers in the same jit).
+        if isinstance(t, jax.Array) and t.sharding.num_devices > 1:
+            return jax.device_put(jnp.asarray(v), t.sharding)
+        return jnp.asarray(v)
+
+    return jax.tree.map(place, tree, template), meta
+
+
 def link_prediction(cfg: ExperimentConfig) -> dict:
+    from blp_tpu.parallel import multihost
+
+    multihost.initialize(cfg.coordinator_address, cfg.num_processes,
+                         cfg.process_id)
     run_id = cfg.run_id or time.strftime("%Y%m%d-%H%M%S")
     os.makedirs(cfg.out_dir, exist_ok=True)
     metrics_log = observers.ObserverSet.from_env(cfg.out_dir, run_id)
@@ -181,8 +219,7 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
     k_init = jax.random.fold_in(jax.random.key(cfg.seed), 0xBEEF)
     params = init_model_params(cfg, mcfg, k_init)
     if cfg.checkpoint:
-        params, meta = ckpt.load_pytree(cfg.checkpoint, template=params)
-        params = jax.tree.map(jnp.asarray, params)
+        params, meta = _load_like(cfg.checkpoint, template=params)
         log.info(f"Loaded checkpoint {cfg.checkpoint} ({meta})")
 
     steps_per_epoch = num_batches(train_data, cfg.batch_size)
@@ -231,6 +268,7 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
     best_mrr = 0.0
     start_epoch = 1
     ckpt_file = osp.join(cfg.out_dir, f"model-{run_id}.npz")
+    best_ckpt = ckpt_file  # may be rebound to a prior run's file on resume
     state_file = osp.join(cfg.out_dir, f"train_state-{run_id}.npz")
     # resume="auto": pick up this run's own state file if present — a
     # preempted job relaunched with the same run_id continues where it left
@@ -238,12 +276,20 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
     # timestamp). Otherwise resume= names a state file directly.
     resume_path = state_file if cfg.resume == "auto" else cfg.resume
     if resume_path and osp.exists(resume_path):
-        (params, opt_state), meta = ckpt.load_pytree(
+        # _load_like re-places every leaf with the sharding the live state
+        # already has — under a mesh the loaded params/opt_state come back
+        # sharded exactly as init_parallel_state laid them out (a plain
+        # asarray would strand them on one device against a sharded batch).
+        (params, opt_state), meta = _load_like(
             resume_path, template=(params, opt_state))
-        params = jax.tree.map(jnp.asarray, params)
-        opt_state = jax.tree.map(jnp.asarray, opt_state)
         start_epoch = int(meta["epoch"]) + 1
         best_mrr = float(meta.get("best_mrr", 0.0))
+        # The best checkpoint may live under the ORIGINAL run's id (resume
+        # with a fresh run_id); without this the final filtered eval would
+        # silently use last-epoch params instead of the best-valid-MRR ones.
+        prior_best = meta.get("best_ckpt") or ""
+        if prior_best and osp.exists(prior_best):
+            best_ckpt = prior_best
         log.info(f"Resumed from {resume_path} at epoch {start_epoch}")
 
     base_key = jax.random.key(cfg.seed)
@@ -251,21 +297,50 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
     log_every = max(1, int(cfg.log_every_frac * steps_per_epoch))
     last_epoch = cfg.max_epochs if cfg.stop_after_epochs is None else \
         min(cfg.max_epochs, cfg.stop_after_epochs)
-    if mesh is not None:
-        from blp_tpu.parallel import train_parallel
-        place_batch = lambda b: train_parallel.shard_batch(b, mesh)  # noqa: E731
-    else:
-        place_batch = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+    use_multihost = jax.process_count() > 1 or cfg.multihost_data
+    if use_multihost and mesh is None:
+        raise ValueError(
+            "multi-host runs need a mesh: set num_data_shards/num_model_shards "
+            "to cover all devices (jax.device_count() across processes)")
+    if use_multihost:
+        # Pod-scale data path: every host derives the SAME global permutation
+        # from the shared seed, materializes only its contiguous row block of
+        # each global batch, and global_batch() assembles the spanning
+        # jax.Array over the 'data' axis. Single-process this is exactly
+        # equivalent to the plain path (tests/test_train_parallel_e2e.py).
+        from blp_tpu.parallel import multihost
 
-    def host_batches(epoch: int):
-        """One epoch of host-side batches; runs on the prefetch thread so the
-        numpy description gathers overlap device compute."""
-        shuffle_rng = np.random.default_rng(cfg.seed * 1_000_003 + epoch)
-        for triples in epoch_batches(train_data, cfg.batch_size, rng=shuffle_rng):
-            if is_text:
-                yield text_train_batch(train_data, triples)
-            else:
-                yield {"pos_pairs": triples[:, :2], "rels": triples[:, 2]}
+        batcher = multihost.LocalBatcher(
+            train_data.num_triples, cfg.batch_size,
+            jax.process_count(), jax.process_index())
+        place_batch = lambda b: multihost.global_batch(b, mesh)  # noqa: E731
+
+        def host_batches(epoch: int):
+            # Same permutation as the plain path: Generator.permutation(n)
+            # equals shuffle(arange(n)) at equal state, and LocalBatcher
+            # drops the remainder exactly like epoch_batches(drop_last=True).
+            for _, rows in batcher.epoch(cfg.seed * 1_000_003 + epoch):
+                triples = train_data.triples[rows]
+                if is_text:
+                    yield text_train_batch(train_data, triples)
+                else:
+                    yield {"pos_pairs": triples[:, :2], "rels": triples[:, 2]}
+    else:
+        if mesh is not None:
+            from blp_tpu.parallel import train_parallel
+            place_batch = lambda b: train_parallel.shard_batch(b, mesh)  # noqa: E731
+        else:
+            place_batch = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+
+        def host_batches(epoch: int):
+            """One epoch of host-side batches; runs on the prefetch thread so
+            the numpy description gathers overlap device compute."""
+            shuffle_rng = np.random.default_rng(cfg.seed * 1_000_003 + epoch)
+            for triples in epoch_batches(train_data, cfg.batch_size, rng=shuffle_rng):
+                if is_text:
+                    yield text_train_batch(train_data, triples)
+                else:
+                    yield {"pos_pairs": triples[:, :2], "rels": triples[:, 2]}
 
     for epoch in range(start_epoch, last_epoch + 1):
         step_losses, t0 = [], time.time()
@@ -305,19 +380,20 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
                            epoch=epoch)
             if res.mrr > best_mrr:
                 best_mrr = res.mrr
-                ckpt.save_pytree(ckpt_file, params,
-                                 {"epoch": epoch, "mrr": res.mrr, "run_id": run_id})
+                best_ckpt = ckpt_file
+                _save_state(ckpt_file, params,
+                            {"epoch": epoch, "mrr": res.mrr, "run_id": run_id})
                 log.info(f"New best valid MRR {best_mrr:.4f}; saved {ckpt_file}")
 
         # Full training state for preemption-safe resume (resume=<file>).
-        ckpt.save_pytree(state_file, (params, opt_state),
-                         {"epoch": epoch, "best_mrr": best_mrr,
-                          "run_id": run_id, "seed": cfg.seed})
+        _save_state(state_file, (params, opt_state),
+                    {"epoch": epoch, "best_mrr": best_mrr,
+                     "best_ckpt": best_ckpt if osp.exists(best_ckpt) else "",
+                     "run_id": run_id, "seed": cfg.seed})
 
     # ---- final filtered evaluation from best checkpoint -------------------
-    if cfg.max_epochs > 0 and osp.exists(ckpt_file):
-        params, _ = ckpt.load_pytree(ckpt_file, template=params)
-        params = jax.tree.map(jnp.asarray, params)
+    if cfg.max_epochs > 0 and osp.exists(best_ckpt):
+        params, _ = _load_like(best_ckpt, template=params)
 
     if cfg.large_dataset:
         filter_index = FilterIndex(valid_data.triples)

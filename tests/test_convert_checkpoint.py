@@ -96,6 +96,118 @@ def test_convert_dkrl():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_converted_checkpoints_score_parity_all_families():
+    """End-to-end TRIPLE-SCORE parity for every model family: a reference-
+    style state dict (DataParallel 'module.' prefixed) converted by the tool
+    must produce the same TransE scores as an independent torch computation
+    (encoder -> L2 normalize -> -||h + r - t||), not just matching leaves."""
+    import torch.nn.functional as F
+
+    from test_scoring import torch_scores
+    from blp_tpu.models import scoring
+
+    torch.manual_seed(7)
+    rng = np.random.default_rng(7)
+    B, L, V, E, D = 5, 8, 24, 12, 8
+    tok_h = rng.integers(1, V, (B, L))
+    tok_t = rng.integers(1, V, (B, L))
+    mask = np.ones((B, L), np.float32)
+    rels = rng.integers(0, 3, B)
+    rel_w = torch.randn(3, D)
+
+    def jax_scores(params, cfg):
+        h = blp.encode(params, cfg, jnp.asarray(tok_h), jnp.asarray(mask),
+                       deterministic=True)
+        t = blp.encode(params, cfg, jnp.asarray(tok_t), jnp.asarray(mask),
+                       deterministic=True)
+        r = jnp.asarray(params["rel_emb"])[jnp.asarray(rels)]
+        return np.asarray(scoring.get_score_fn("transe")(h, t, r))
+
+    def torch_transe(h_emb, t_emb):
+        h = F.normalize(h_emb, dim=-1).numpy()
+        t = F.normalize(t_emb, dim=-1).numpy()
+        return torch_scores("transe", h, t, rel_w.numpy()[rels]).numpy()
+
+    # ---- bow (word-table masked mean; dim == emb width) -------------------
+    emb = torch.randn(V, E)
+    rel_w_bow = torch.randn(3, E)
+    sd = {"module.rel_emb.weight": rel_w_bow,
+          "module.embeddings.weight": emb}
+    p = jax.tree.map(jnp.asarray, convert_state_dict(sd, "bert-bow"))
+    cfg = blp.ModelConfig(model="bert-bow", rel_model="transe", dim=0,
+                          num_relations=3, emb_dim=E, vocab_size=V)
+    with torch.no_grad():
+        th = emb[torch.from_numpy(tok_h)].mean(1)
+        tt = emb[torch.from_numpy(tok_t)].mean(1)
+        want = torch_scores(
+            "transe", F.normalize(th, dim=-1).numpy(),
+            F.normalize(tt, dim=-1).numpy(),
+            rel_w_bow.numpy()[rels]).numpy()
+    np.testing.assert_allclose(jax_scores(p, cfg), want, rtol=1e-4, atol=1e-5)
+
+    # ---- dkrl (CNN encoder) ----------------------------------------------
+    sd = {"module.rel_emb.weight": rel_w,
+          "module.embeddings.weight": emb,
+          "module.conv1.weight": torch.randn(D, E, 2),
+          "module.conv1.bias": torch.randn(D),
+          "module.conv2.weight": torch.randn(D, D, 2),
+          "module.conv2.bias": torch.randn(D)}
+    p = jax.tree.map(jnp.asarray, convert_state_dict(sd, "glove-dkrl"))
+    cfg = blp.ModelConfig(model="glove-dkrl", rel_model="transe", dim=D,
+                          num_relations=3, emb_dim=E, vocab_size=V)
+    from test_encoders import torch_dkrl
+    with torch.no_grad():
+        th = torch_dkrl(emb.numpy(), tok_h, mask, sd["module.conv1.weight"],
+                        sd["module.conv1.bias"], sd["module.conv2.weight"],
+                        sd["module.conv2.bias"])
+        tt = torch_dkrl(emb.numpy(), tok_t, mask, sd["module.conv1.weight"],
+                        sd["module.conv1.bias"], sd["module.conv2.weight"],
+                        sd["module.conv2.bias"])
+    np.testing.assert_allclose(jax_scores(p, cfg), torch_transe(th, tt),
+                               rtol=1e-4, atol=1e-5)
+
+    # ---- blp (BERT + bias-free projection) -------------------------------
+    hf_cfg = transformers.BertConfig(
+        vocab_size=V, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=24,
+        max_position_embeddings=16)
+    hf_model = transformers.BertModel(hf_cfg).eval()
+    lin = torch.nn.Linear(16, D, bias=False)
+    sd = {"module.rel_emb.weight": rel_w,
+          "module.enc_linear.weight": lin.weight.detach()}
+    for k, v in hf_model.state_dict().items():
+        sd[f"module.encoder.{k}"] = v
+    p = jax.tree.map(jnp.asarray, convert_state_dict(sd, "blp"))
+    cfg = blp.ModelConfig(
+        model="blp", rel_model="transe", dim=D, num_relations=3,
+        encoder=bert.BertConfig(vocab_size=V, hidden_size=16, num_layers=2,
+                                num_heads=4, intermediate_size=24,
+                                max_position_embeddings=16))
+    with torch.no_grad():
+        th = lin(hf_model(torch.from_numpy(tok_h),
+                          torch.from_numpy(mask)).last_hidden_state[:, 0])
+        tt = lin(hf_model(torch.from_numpy(tok_t),
+                          torch.from_numpy(mask)).last_hidden_state[:, 0])
+    np.testing.assert_allclose(jax_scores(p, cfg), torch_transe(th, tt),
+                               rtol=1e-4, atol=1e-4)
+
+    # ---- transductive (entity-table lookup) ------------------------------
+    ent_w = torch.randn(10, D)
+    sd = {"module.rel_emb.weight": rel_w, "module.ent_emb.weight": ent_w}
+    p = jax.tree.map(jnp.asarray, convert_state_dict(sd, "transductive"))
+    cfg = blp.ModelConfig(model="transductive", rel_model="transe", dim=D,
+                          num_relations=3, num_entities=10)
+    pairs = rng.integers(0, 10, (B, 2))
+    h = blp.encode_entity_ids(p, cfg, jnp.asarray(pairs[:, 0]))
+    t = blp.encode_entity_ids(p, cfg, jnp.asarray(pairs[:, 1]))
+    r = jnp.asarray(p["rel_emb"])[jnp.asarray(rels)]
+    got = np.asarray(scoring.get_score_fn("transe")(h, t, r))
+    with torch.no_grad():
+        want = torch_transe(ent_w[torch.from_numpy(pairs[:, 0])],
+                            ent_w[torch.from_numpy(pairs[:, 1])])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_convert_bow_and_transductive():
     sd = {"rel_emb.weight": torch.randn(3, 8),
           "embeddings.weight": torch.randn(20, 8)}

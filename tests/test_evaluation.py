@@ -288,3 +288,29 @@ def test_bidir_counts_match_unidirectional(rel_model):
     for k in ("gt", "geq", "fgt", "fgeq"):
         np.testing.assert_array_equal(fused[f"h_{k}"], h[k])
         np.testing.assert_array_equal(fused[f"t_{k}"], t[k])
+
+
+def test_pallas_eval_matches_xla_eval(setup):
+    """The full evaluator with the Pallas TransE path (use_pallas=True,
+    gate-eligible tile) must agree with the XLA stream — regression for the
+    zero-d-grid bug where an unpadded table_t silently skipped the kernel
+    and returned uninitialized counts (caught on hardware, round 3)."""
+    d, train, dev, cfg0, _ = setup
+    cfg = blp.ModelConfig(model="glove-bow", rel_model="transe", dim=0,
+                          num_relations=len(train.rel_ids), emb_dim=16,
+                          vocab_size=cfg0.vocab_size)
+    params = blp.init_params(jax.random.key(1), cfg)
+    test_g = GraphData.load(f"{d}/ind-test.tsv")
+    all_triples = np.concatenate([train.triples, dev.triples, test_g.triples])
+    entities = np.unique(np.concatenate([train.entities, dev.entities]))
+    fidx = FilterIndex(all_triples)
+
+    # tile=256 > n rounds the pad unit to a 128-multiple: the gate accepts.
+    kw = dict(batch_size=7, emb_batch_size=16, tile=256, filter_index=fidx)
+    xla = evaluation.eval_link_prediction(
+        params, cfg, dev.triples, train, entities, use_pallas=False, **kw)
+    pal = evaluation.eval_link_prediction(
+        params, cfg, dev.triples, train, entities, use_pallas=True, **kw)
+    assert np.isclose(pal.mrr, xla.mrr, atol=1e-6)
+    assert np.isclose(pal.mrr_filt, xla.mrr_filt, atol=1e-6)
+    assert pal.hits == xla.hits

