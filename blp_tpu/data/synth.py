@@ -52,10 +52,10 @@ def write_synth_dataset(
     types = None
     # Relation r links only heads of type ht[r] to tails of type tt[r].
     if num_types > 0:
-        if num_types > min(num_entities, num_relations, len(_WORDS)):
+        if num_types > min(num_entities, num_relations):
             raise ValueError(
-                f"num_types={num_types} needs num_entities, num_relations and "
-                f"the word list ({len(_WORDS)}) to be at least that large")
+                f"num_types={num_types} needs num_entities and num_relations "
+                f"to be at least that large")
         types = rng.integers(num_types, size=num_entities)
         # Deterministically inhabit every type (entity i < num_types gets
         # type i) — a random reassignment loop can re-empty a type it
@@ -126,8 +126,15 @@ def write_synth_dataset(
     edges = sorted(edges)
     rng.shuffle(edges)
 
-    # Descriptions + vocab. In typed mode the first word names the type.
-    type_words = _WORDS[: num_types] if types is not None else []
+    # Descriptions + vocab. In typed mode the first word names the type;
+    # beyond the natural word list, synthetic type tokens are generated (and
+    # added to the vocab below) so graphs can have thousands of types.
+    if types is None:
+        type_words = []
+    elif num_types <= len(_WORDS):
+        type_words = _WORDS[:num_types]
+    else:
+        type_words = [f"type{i:05d}" for i in range(num_types)]
     with open(osp.join(directory, "entity2text.txt"), "w") as f:
         for i, e in enumerate(ents):
             n = int(rng.integers(desc_words[0], desc_words[1] + 1))
@@ -137,6 +144,7 @@ def write_synth_dataset(
             f.write(f"{e}\t{' '.join(words)}.\n")
 
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "."] + _WORDS
+    vocab += [w for w in type_words if w not in _WORDS]
     # A few wordpieces to exercise the continuation path.
     vocab += ["##s", "##ing", "pro", "##tein"]
     with open(osp.join(directory, "vocab.txt"), "w") as f:

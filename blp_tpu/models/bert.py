@@ -21,6 +21,7 @@ blp_tpu/models/blp.py, not here.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any
 
@@ -114,6 +115,34 @@ def init_bert_params(key: Array, cfg: BertConfig) -> dict:
     }
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rng_dropout(x: Array, key: Array, rate: float) -> Array:
+    """Dropout whose backward REGENERATES the mask from the key instead of
+    stashing it: the only residual is the (tiny) key. Measured on v5e
+    (flagship step, B=128) this is throughput-NEUTRAL — XLA already chose to
+    rematerialize the cheap rbg bernoulli rather than stash masks — but it
+    guarantees the zero-stash behavior independent of XLA's heuristics and
+    removes the mask buffers from peak memory. Gradients are exact — the
+    same key reproduces the same mask. (Dropout's real cost is ~5 ms/step
+    of broken fusion structure: deterministic=True measures 43.3 vs 48.7 ms.
+    That is the price of the reference's training semantics, not stash
+    traffic.)"""
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
+
+
+def _rng_dropout_fwd(x, key, rate):
+    return _rng_dropout(x, key, rate), key
+
+
+def _rng_dropout_bwd(rate, key, g):
+    keep = jax.random.bernoulli(key, 1.0 - rate, g.shape)
+    return (jnp.where(keep, g / (1.0 - rate), jnp.zeros((), g.dtype)), None)
+
+
+_rng_dropout.defvjp(_rng_dropout_fwd, _rng_dropout_bwd)
+
+
 def _layer_norm(x: Array, scale: Array, bias: Array, eps: float,
                 out_dtype=None) -> Array:
     """LayerNorm with float32 statistics; `out_dtype` controls the dtype the
@@ -167,19 +196,15 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     # explicit post-softmax cast is a no-op on v5e — XLA already picks the
     # consumer dtype (the ctx einsum casts to `dt`) for the buffer.
     probs = jax.nn.softmax(logits, axis=-1)
-    if dropout_rngs is not None and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(dropout_rngs[0], 1.0 - cfg.attention_dropout,
-                                    probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - cfg.attention_dropout), 0.0)
+    if dropout_rngs is not None and cfg.attention_dropout > 0.0:
+        probs = _rng_dropout(probs, dropout_rngs[0], cfg.attention_dropout)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v.astype(dt),
                      preferred_element_type=jnp.float32)
     ctx = checkpoint_name(ctx.reshape(B, S, H), "ctx")
 
     attn_out = _dense(ctx, lp["attn_out_w"], lp["attn_out_b"], dt)
     if dropout_rngs is not None and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(dropout_rngs[1], 1.0 - dropout_rate,
-                                    attn_out.shape)
-        attn_out = jnp.where(keep, attn_out / (1.0 - dropout_rate), 0.0)
+        attn_out = _rng_dropout(attn_out, dropout_rngs[1], dropout_rate)
     x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
                     cfg.layer_norm_eps, out_dtype=res_dt)
 
@@ -192,8 +217,7 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     ffn = jax.nn.gelu(ffn, approximate=False)
     ffn = _dense(ffn, lp["ffn_out_w"], lp["ffn_out_b"], dt)
     if dropout_rngs is not None and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(dropout_rngs[2], 1.0 - dropout_rate, ffn.shape)
-        ffn = jnp.where(keep, ffn / (1.0 - dropout_rate), 0.0)
+        ffn = _rng_dropout(ffn, dropout_rngs[2], dropout_rate)
     x = _layer_norm(x + ffn, lp["ffn_ln_scale"], lp["ffn_ln_bias"],
                     cfg.layer_norm_eps, out_dtype=res_dt)
     return x
@@ -270,9 +294,7 @@ def bert_encode(
         # hardware RNG (rbg) — ~3x cheaper, still deterministic per input key.
         dropout_rng = jax.random.wrap_key_data(
             jax.random.bits(dropout_rng, (4,), jnp.uint32), impl="rbg")
-        keep = jax.random.bernoulli(jax.random.fold_in(dropout_rng, 0),
-                                    1.0 - dropout_rate, x.shape)
-        x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+        x = _rng_dropout(x, jax.random.fold_in(dropout_rng, 0), dropout_rate)
         layer_rngs = jax.random.split(jax.random.fold_in(dropout_rng, 1),
                                       cfg.num_layers * 3).reshape(cfg.num_layers, 3)
     else:
