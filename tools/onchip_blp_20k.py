@@ -46,7 +46,7 @@ cfg = ExperimentConfig(
     num_negatives=64, lr=1e-4, use_scheduler=True, batch_size=args.batch,
     emb_batch_size=2048, eval_batch_size=64, max_epochs=args.epochs,
     eval_every=max(args.epochs // 2, 1), tile=20_480, bf16=True,
-    run_id="blp20k", seed=0)
+    run_id="blp20k", resume="auto", seed=0)
 t0 = time.time()
 r = link_prediction(cfg)
 r["wall_s"] = round(time.time() - t0, 1)
