@@ -102,3 +102,25 @@ def test_rerank_alpha_zero_is_baseline(ir_data):
     out = rerank_queries(["Q0"], baseline_run, {"Q0": np.zeros(4)},
                          {}, np.zeros((1, 4)), alpha=0.0)
     assert out["Q0"] == {"a": 3.0, "b": 2.0, "c": 1.0}
+
+
+def test_ndcg_cross_check_vs_sklearn():
+    """Independent cross-check of the home-grown trec_eval-style NDCG
+    against sklearn.metrics.ndcg_score (same convention: linear gains,
+    1/log2(rank+1) discount, IDCG over all judged docs). pytrec_eval is
+    unavailable offline; sklearn is an independently-authored oracle."""
+    from sklearn.metrics import ndcg_score
+
+    rng = np.random.default_rng(0)
+    docs = [f"d{i}" for i in range(30)]
+    for trial in range(20):
+        k = int(rng.integers(1, 15))
+        rel = rng.integers(0, 4, len(docs))
+        if rel.sum() == 0:
+            rel[0] = 1
+        scores = rng.standard_normal(len(docs))
+        run = {d: float(s) for d, s in zip(docs, scores)}
+        qrel = {d: int(r) for d, r in zip(docs, rel) if r > 0}
+        got = ndcg_at_k(run, qrel, k)
+        want = ndcg_score(rel[None, :], scores[None, :], k=k)
+        assert np.isclose(got, want, atol=1e-9), (trial, k, got, want)
