@@ -108,14 +108,39 @@ def build_entity_table(
 _MESH_RANK_CACHE: dict = {}
 
 
-def _mesh_rank_batch(mesh, rel_model: str, tile: int):
+def _mesh_rank_batch(mesh, rel_model: str, tile: int, use_pallas: bool = False):
     """Jitted per-batch raw+filtered counting over a candidate-sharded table
-    (shard_map + psum inside). Cached per (mesh, rel_model, tile)."""
-    key = (mesh, rel_model, tile)
+    (shard_map + psum inside). use_pallas routes TransE through the Pallas
+    kernel on every shard (pivot computed globally, order-matched). Cached
+    per (mesh, rel_model, tile, use_pallas)."""
+    key = (mesh, rel_model, tile, use_pallas)
     if key in _MESH_RANK_CACHE:
         return _MESH_RANK_CACHE[key]
 
     from blp_tpu.parallel import eval_parallel
+
+    if use_pallas:
+        from blp_tpu.ops import pallas_ranking
+
+        count_fn = eval_parallel.make_sharded_rank_counts_bidir_pallas(
+            mesh, tile=_pallas_tile(tile))
+
+        @jax.jit
+        def fn(table, head_pos, tail_pos, rel_table, rel_ids, num_valid,
+               heads_filter, tails_filter, table_t):
+            rel_emb = rel_table[rel_ids]
+            head_emb = table[head_pos]
+            tail_emb = table[tail_pos]
+            pivot = pallas_ranking.bidir_pivot_dists(head_emb, tail_emb,
+                                                     rel_emb)
+            c = count_fn(table, table_t, head_emb, tail_emb, rel_emb, pivot,
+                         head_pos, tail_pos, heads_filter, tails_filter,
+                         num_valid)
+            return {k: v + 1 if k.endswith("_geq") else v
+                    for k, v in c.items()}
+
+        _MESH_RANK_CACHE[key] = fn
+        return fn
 
     count_fn = eval_parallel.make_sharded_rank_counts_bidir(
         mesh, rel_model=rel_model, tile=tile)
@@ -289,19 +314,19 @@ def eval_link_prediction(
         from blp_tpu.parallel import eval_parallel
 
         ent_emb = eval_parallel.shard_entity_table(ent_emb, mesh)
-        mesh_rank = _mesh_rank_batch(mesh, cfg.rel_model, tile)
 
     rel_emb_table = params["rel_emb"]
     num_valid = jnp.asarray(n, jnp.int32)
 
     # Mosaic requires the kernel's (d, C) table block to have C % 128 == 0
     # or C == Np (lane-tiling constraint); tiny candidate sets fall back to
-    # the XLA stream rather than failing to lower on hardware.
+    # the XLA stream rather than failing to lower on hardware. (Under a
+    # mesh, each shard's local rows are a multiple of `tile`, so only the
+    # 128-multiple form applies.)
     pt = _pallas_tile(tile)
-    pallas_lowers = pt % 128 == 0 or pt == n_pad
+    pallas_lowers = pt % 128 == 0 or (mesh is None and pt == n_pad)
     if use_pallas is None:
-        use_pallas = (mesh is None and pallas_lowers
-                      and _use_pallas_default(cfg.rel_model))
+        use_pallas = pallas_lowers and _use_pallas_default(cfg.rel_model)
     elif use_pallas:
         if cfg.rel_model != "transe":
             raise ValueError("use_pallas=True requires rel_model='transe' "
@@ -313,12 +338,20 @@ def eval_link_prediction(
                 f"(got {pt} from tile={tile}); raise `tile` or pad the "
                 f"candidate set")
     ent_emb_t = None
-    if use_pallas and mesh is None:
+    if use_pallas:
         # One transpose per eval (two HBM passes) buys the kernel its
-        # contiguous (d_pad, Np) stream layout for every batch.
+        # contiguous (d_pad, Np) stream layout for every batch; under a
+        # mesh the transposed copy is candidate-sharded like the table.
         from blp_tpu.ops import pallas_ranking
 
         ent_emb_t = pallas_ranking.prepare_table_t(ent_emb)
+        if mesh is not None:
+            from blp_tpu.parallel import eval_parallel
+
+            ent_emb_t = eval_parallel.shard_entity_table_t(ent_emb_t, mesh)
+    if mesh is not None:
+        mesh_rank = _mesh_rank_batch(mesh, cfg.rel_model, tile,
+                                     use_pallas=use_pallas)
 
     total_gt, total_geq = [], []
     filt_gt, filt_geq = [], []
@@ -353,10 +386,11 @@ def eval_link_prediction(
             hf = tf = empty_filters
 
         if mesh is not None:
+            extra = (ent_emb_t,) if use_pallas else ()
             counts = mesh_rank(
                 ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),
                 rel_emb_table, jnp.asarray(batch[:, 2]), num_valid,
-                jnp.asarray(hf), jnp.asarray(tf))
+                jnp.asarray(hf), jnp.asarray(tf), *extra)
         else:
             counts = _rank_batch(
                 ent_emb, jnp.asarray(head_pos), jnp.asarray(tail_pos),

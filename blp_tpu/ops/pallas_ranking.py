@@ -132,6 +132,18 @@ def _seq_abs_scores(rows: jax.Array, u: jax.Array) -> jax.Array:
     return acc
 
 
+def bidir_pivot_dists(head_emb: jax.Array, tail_emb: jax.Array,
+                      rel_emb: jax.Array) -> jax.Array:
+    """The (2B, 1) order-matched pivot distances the bidir kernel compares
+    against: head-corruption rows first, then tail-corruption. Compute this
+    GLOBALLY (from gathered true-entity embeddings) when the table is
+    sharded — each shard's kernel must see the same pivot."""
+    u = jnp.concatenate([_offset(tail_emb, rel_emb, "head"),
+                         _offset(head_emb, rel_emb, "tail")], axis=0)
+    own = jnp.concatenate([head_emb, tail_emb], axis=0)
+    return _seq_abs_scores(own[:, None, :], u)
+
+
 def prepare_table_t(table: jax.Array) -> jax.Array:
     """Transpose (Np, d) -> (d_pad, Np) with d padded to a multiple of _DC
     (zero rows contribute exactly 0 to every distance). Build this ONCE per
@@ -193,11 +205,15 @@ def _raw_counts(table_t, u, r, true_pos, num_valid, *, tile, interpret):
 
 
 def _filter_counts(table, u, r, filter_pos):
-    """Outside-the-kernel filtered correction, order-matched to the stream."""
+    """Outside-the-kernel filtered correction, order-matched to the stream.
+
+    Positions outside [0, len(table)) are ignored — sharded callers pass
+    locally-translated positions where out-of-shard entries fall outside
+    the local range (eval_parallel)."""
     n_pad = table.shape[0]
     rows = table[jnp.clip(filter_pos, 0, n_pad - 1)]       # (B, F, d)
     dist = _seq_abs_scores(rows, u)                        # (B, F)
-    present = filter_pos >= 0
+    present = (filter_pos >= 0) & (filter_pos < n_pad)
     fgt = jnp.sum((dist < r) & present, axis=1, dtype=jnp.int32)
     fgeq = jnp.sum((dist <= r) & present, axis=1, dtype=jnp.int32)
     return fgt, fgeq
@@ -267,12 +283,18 @@ def transe_tiled_rank_counts_bidir(
     tile: int = 2048,
     interpret: bool = False,
     table_t: jax.Array | None = None,
+    pivot_dists: jax.Array | None = None,
 ) -> dict:
     """Both-direction TransE rank counts in ONE kernel stream: the two
     directions' offset vectors are stacked on the query axis (Bq = 2B), so
     each table tile is read once and the (Bq, C) accumulator fills the
     VPU sublanes. Same return contract as
     ops.ranking.tiled_rank_counts_bidir ('h_'/'t_' prefixed gt/geq/fgt/fgeq).
+
+    pivot_dists: optionally the precomputed (2B, 1) order-matched pivot
+    distances (bidir_pivot_dists) — sharded callers must compute the pivot
+    GLOBALLY once (the true entity's row lives on one shard) and pass it to
+    every shard's kernel call.
     """
     n_pad, d = table.shape
     if n_pad % tile != 0:
@@ -289,7 +311,10 @@ def transe_tiled_rank_counts_bidir(
     # Order-matched pivot (see transe_tiled_rank_counts): exact ties must
     # compare equal against the stream's distances.
     del h_true_scores, t_true_scores
-    r = _seq_abs_scores(table[pos][:, None, :], u)
+    if pivot_dists is None:
+        r = _seq_abs_scores(table[pos][:, None, :], u)
+    else:
+        r = pivot_dists.reshape(2 * b, 1)
     counts = _raw_counts(table_t, u, r, pos.reshape(2 * b, 1),
                          num_valid.astype(jnp.int32).reshape(1, 1),
                          tile=tile, interpret=interpret)

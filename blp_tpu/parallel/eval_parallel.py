@@ -122,6 +122,67 @@ def make_sharded_rank_counts(mesh: Mesh, *, rel_model: str, corrupt: str,
     return jax.jit(fn)
 
 
+def shard_entity_table_t(table_t, mesh: Mesh):
+    """Place a transposed (d_pad, Np) table with CANDIDATE columns sharded
+    across every device — the Pallas rank kernel's stream layout
+    (ops/pallas_ranking.py::prepare_table_t builds table_t; shard it once
+    per eval)."""
+    return jax.device_put(table_t, NamedSharding(mesh, P(None, mesh.axis_names)))
+
+
+def make_sharded_rank_counts_bidir_pallas(mesh: Mesh, *, tile: int):
+    """Candidate-sharded BOTH-direction TransE counting through the Pallas
+    rank kernel (2.5x the XLA stream on v5e, PERFORMANCE.md): each device
+    runs the kernel over its (rows, d) table slice + (d_pad, rows)
+    transposed slice, then counts psum. The pivot distances must be computed
+    globally (pallas_ranking.bidir_pivot_dists) — the true entity's row
+    lives on one shard — and are replicated to every device; all shards
+    then compare against bit-identical pivots, preserving the exactness
+    contract.
+
+    fn(table, table_t, head_emb, tail_emb, rel_emb, pivot, head_pos,
+       tail_pos, heads_filter, tails_filter, num_valid)
+      -> dict of (B,) global counts with 'h_'/'t_' prefixed gt/geq/fgt/fgeq.
+    """
+    from blp_tpu.ops import pallas_ranking
+
+    axes = tuple(mesh.axis_names)
+
+    def local_counts(table_l, table_t_l, head_emb, tail_emb, rel_emb, pivot,
+                     head_pos, tail_pos, heads_filter, tails_filter,
+                     num_valid):
+        shard = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            shard = shard * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        rows = table_l.shape[0]
+        offset = shard * rows
+
+        # Out-of-shard positions land outside [0, rows) and are ignored by
+        # the kernel's validity check / the filter bound check.
+        local_head = head_pos - offset
+        local_tail = tail_pos - offset
+        big = jnp.iinfo(jnp.int32).max
+        local_hf = jnp.where(heads_filter >= 0, heads_filter - offset, big)
+        local_tf = jnp.where(tails_filter >= 0, tails_filter - offset, big)
+        local_valid = jnp.clip(num_valid - offset, 0, rows)
+        b = head_emb.shape[0]
+
+        c = pallas_ranking.transe_tiled_rank_counts_bidir(
+            table_l, head_emb, tail_emb, rel_emb,
+            jnp.zeros((b, 1), jnp.float32), jnp.zeros((b, 1), jnp.float32),
+            local_head, local_tail, local_hf, local_tf, local_valid,
+            tile=tile, table_t=table_t_l, pivot_dists=pivot)
+        return {k: jax.lax.psum(v, axes) for k, v in c.items()}
+
+    fn = shard_map(
+        local_counts, mesh=mesh,
+        in_specs=(P(axes), P(None, axes)) + (P(),) * 9,
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_rank_counts_bidir(mesh: Mesh, *, rel_model: str, tile: int):
     """Both-direction sharded counting in ONE local table stream per device
     (see ops/ranking.py::tiled_rank_counts_bidir — the bilinear rank pass is

@@ -105,3 +105,30 @@ def test_mesh_eval_blp_end_to_end(setup):
         mesh=mesh_lib.make_mesh(4, 2), **kw)
     assert meshed.mrr == pytest.approx(single.mrr, rel=1e-6)
     assert meshed.mrr_filt == pytest.approx(single.mrr_filt, rel=1e-6)
+
+
+def test_mesh_pallas_transe_bit_identical(setup):
+    """Mesh phase 2 through the Pallas kernel (candidate-sharded kernel
+    calls + globally-computed order-matched pivot) must equal the
+    single-device Pallas evaluator bit-for-bit."""
+    d, train, dev, test = setup
+    cfg = blp.ModelConfig(model="glove-bow", rel_model="transe", dim=0,
+                          num_relations=len(train.rel_ids), emb_dim=16,
+                          vocab_size=40)
+    params = blp.init_params(jax.random.key(2), cfg)
+    entities = np.unique(np.concatenate([train.entities, dev.entities]))
+    fidx = FilterIndex(np.concatenate([train.triples, dev.triples,
+                                       test.triples]))
+
+    # tile=128: the kernel tile is 128-divisible, so the pallas default
+    # engages on BOTH the mesh and single-device paths.
+    kw = dict(batch_size=8, emb_batch_size=32, tile=128, filter_index=fidx)
+    single = evaluation.eval_link_prediction(
+        params, cfg, dev.triples, train, entities, **kw)
+    meshed = evaluation.eval_link_prediction(
+        params, cfg, dev.triples, train, entities,
+        mesh=mesh_lib.make_mesh(4, 2), **kw)
+    assert meshed.mrr == pytest.approx(single.mrr, abs=0)
+    assert meshed.mrr_filt == pytest.approx(single.mrr_filt, abs=0)
+    assert meshed.hits == single.hits
+    assert meshed.hits_filt == single.hits_filt
