@@ -114,15 +114,32 @@ class LinkPredictor:
 
     # -- queries ---------------------------------------------------------------
 
+    #: Dense-path budget: max B * Np score elements (fp32) materialized at
+    #: once — 320M = 1.28 GB, i.e. B<=66 at Wikidata5M scale.
+    DENSE_TOPK_BUDGET = 320_000_000
+
     def _topk(self, fixed: jax.Array, rels, k: int, corrupt: str):
         if self._table is None:
             raise ValueError("no candidate table installed")
         rel_emb = self.params["rel_emb"][jnp.asarray(rels, jnp.int32)]
-        scores, cols = ranking.tiled_top_k(
-            self._table, fixed, rel_emb,
-            jnp.asarray(self._num_valid, jnp.int32),
-            k=k, rel_model=self.cfg.rel_model, corrupt=corrupt,
-            tile=min(self.tile, self._table.shape[0]), approx=self.approx)
+        n_pad = self._table.shape[0]
+        if fixed.shape[0] * n_pad <= self.DENSE_TOPK_BUDGET:
+            # Small-batch fast path: one dense score pass + ONE selection
+            # beats the 73-tile top-k merge chain — measured 29.3 -> 6.7 ms
+            # for a single exact TransE query at 4.8M candidates
+            # (PERFORMANCE.md); exact selection is as fast as approximate
+            # here, so `approx` only matters on the tiled path.
+            scores, cols = ranking.dense_top_k(
+                self._table, fixed, rel_emb,
+                jnp.asarray(self._num_valid, jnp.int32),
+                k=k, rel_model=self.cfg.rel_model, corrupt=corrupt,
+                approx=self.approx)
+        else:
+            scores, cols = ranking.tiled_top_k(
+                self._table, fixed, rel_emb,
+                jnp.asarray(self._num_valid, jnp.int32),
+                k=k, rel_model=self.cfg.rel_model, corrupt=corrupt,
+                tile=min(self.tile, n_pad), approx=self.approx)
         cols = np.asarray(cols)
         ents = np.where(cols >= 0, self._candidate_ids[np.clip(cols, 0, None)],
                         -1)

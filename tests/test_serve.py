@@ -138,3 +138,25 @@ def test_tiled_top_k_approx_mode_small_table():
                                  approx=True)
     np.testing.assert_allclose(np.asarray(se), np.asarray(sa), rtol=1e-6)
     assert (np.asarray(ie) == np.asarray(ia)).all()
+
+
+@pytest.mark.parametrize("rel_model", ["transe", "distmult"])
+@pytest.mark.parametrize("corrupt", ["head", "tail"])
+def test_dense_top_k_matches_tiled(rel_model, corrupt):
+    """The small-batch dense top-k fast path (one score pass + one
+    selection) must return exactly the tiled scan's results."""
+    rng = np.random.default_rng(3)
+    N, d, B, k = 50, 8, 6, 5
+    n_pad = 64
+    table = np.zeros((n_pad, d), np.float32)
+    table[:N] = rng.standard_normal((N, d)).astype(np.float32)
+    fixed = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    rel = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    nv = jnp.asarray(N, jnp.int32)
+
+    ts, ti = ranking.tiled_top_k(jnp.asarray(table), fixed, rel, nv, k=k,
+                                 rel_model=rel_model, corrupt=corrupt, tile=16)
+    ds, di = ranking.dense_top_k(jnp.asarray(table), fixed, rel, nv, k=k,
+                                 rel_model=rel_model, corrupt=corrupt)
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(ti))
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ts), rtol=1e-6)
