@@ -34,7 +34,7 @@ def main():
         model="blp", rel_model="transe", loss_fn="margin", dim=128,
         num_relations=16,
         encoder=bert.BertConfig(compute_dtype=jnp.bfloat16))
-    params = blp.init_params(jax.random.key(0), cfg)
+    params = training.unstack_params(blp.init_params(jax.random.key(0), cfg))
     optimizer = training.make_optimizer(2e-5, 10_000)
     opt_state = jax.jit(optimizer.init)(params)
     step = training.make_train_step(cfg, optimizer, batch_size=B,

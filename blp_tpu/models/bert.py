@@ -143,6 +143,36 @@ def _rng_dropout_bwd(rate, key, g):
 _rng_dropout.defvjp(_rng_dropout_fwd, _rng_dropout_bwd)
 
 
+def unstack_layers(bert_params: dict) -> dict:
+    """Stacked (num_layers, ...) layer tree -> tuple of per-layer dicts.
+
+    The stacked layout is the CANONICAL/stored format (checkpoints, HF
+    conversion, TP shardings, the rolled eval scan); the unstacked view is
+    the TRAINING-loop fast path — with straight-line layers, each dW lands
+    in its own buffer instead of a dynamic-update-slice into the stacked
+    gradient (measured +9% step throughput on v5e, PERFORMANCE.md). No-op
+    if already unstacked."""
+    layers = bert_params["layers"]
+    if isinstance(layers, (tuple, list)):
+        return bert_params
+    n = next(iter(layers.values())).shape[0]
+    out = dict(bert_params)
+    out["layers"] = tuple({k: v[i] for k, v in layers.items()}
+                          for i in range(n))
+    return out
+
+
+def restack_layers(bert_params: dict) -> dict:
+    """Inverse of unstack_layers (no-op if already stacked)."""
+    layers = bert_params["layers"]
+    if not isinstance(layers, (tuple, list)):
+        return bert_params
+    out = dict(bert_params)
+    out["layers"] = {k: jnp.stack([lp[k] for lp in layers])
+                     for k in layers[0]}
+    return out
+
+
 def _layer_norm(x: Array, scale: Array, bias: Array, eps: float,
                 out_dtype=None) -> Array:
     """LayerNorm with float32 statistics; `out_dtype` controls the dtype the
@@ -300,6 +330,22 @@ def bert_encode(
     else:
         layer_rngs = None
 
+    layers = params["layers"]
+    if isinstance(layers, (tuple, list)):
+        # UNSTACKED per-layer weights (see unstack_layers): a plain python
+        # loop — each layer's weight gradient is written straight into its
+        # own leaf instead of a dynamic-update-slice into the stacked
+        # (12, ...) buffer. Measured on the v5e flagship train step: 44.6 vs
+        # 48.7 ms (+9% throughput). The rng schedule matches the stacked
+        # path exactly (same split rows per layer).
+        body_fn = _encoder_layer
+        if cfg.remat:
+            body_fn = jax.checkpoint(_encoder_layer, static_argnums=(0,))
+        for i, lp in enumerate(layers):
+            rngs = None if layer_rngs is None else layer_rngs[i]
+            x = body_fn(cfg, x, mask_bias, lp, rngs, dropout_rate)
+        return x.reshape(B, S, x.shape[-1]) if pack > 1 else x
+
     def body(carry, scanned):
         if layer_rngs is None:
             lp = scanned
@@ -328,7 +374,7 @@ def bert_encode(
             policy = None
         body = jax.checkpoint(body, policy=policy)
 
-    scanned = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)
+    scanned = layers if layer_rngs is None else (layers, layer_rngs)
     unroll = cfg.scan_unroll
     if unroll == "auto":
         unroll = 1 if (cfg.remat or deterministic) else cfg.num_layers

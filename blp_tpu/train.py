@@ -241,6 +241,12 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
             mcfg, optimizer, batch_size=cfg.batch_size,
             num_negatives=cfg.num_negatives)
     else:
+        # Single-device BLP training holds the BERT layers UNSTACKED (each
+        # dW in its own buffer — +9% step throughput, models/bert.py); the
+        # canonical stacked layout is restored at eval/best-checkpoint
+        # boundaries. The opt state is built over the same view so Adam's
+        # mu/nu mirror it.
+        params = training.unstack_params(params)
         opt_state = optimizer.init(params)
         train_step = training.make_train_step(
             mcfg, optimizer, batch_size=cfg.batch_size,
@@ -249,7 +255,7 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
     def run_eval(triples, entities, *, prefix, epoch, filtered=False,
                  new_entities=None, max_num_batches=None, return_embeddings=False):
         res = evaluation.eval_link_prediction(
-            params, mcfg, triples, train_data, entities,
+            training.restack_params(params), mcfg, triples, train_data, entities,
             batch_size=cfg.eval_batch_size, emb_batch_size=cfg.emb_batch_size,
             tile=cfg.tile, filter_index=filter_index if filtered else None,
             new_entities=new_entities,
@@ -381,7 +387,9 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
             if res.mrr > best_mrr:
                 best_mrr = res.mrr
                 best_ckpt = ckpt_file
-                _save_state(ckpt_file, params,
+                # The model checkpoint is the user-facing artifact: always
+                # the canonical stacked layout (serve/checkpoint= loads).
+                _save_state(ckpt_file, training.restack_params(params),
                             {"epoch": epoch, "mrr": res.mrr, "run_id": run_id})
                 log.info(f"New best valid MRR {best_mrr:.4f}; saved {ckpt_file}")
 
@@ -392,6 +400,7 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
                      "run_id": run_id, "seed": cfg.seed})
 
     # ---- final filtered evaluation from best checkpoint -------------------
+    params = training.restack_params(params)
     if cfg.max_epochs > 0 and osp.exists(best_ckpt):
         params, _ = _load_like(best_ckpt, template=params)
 

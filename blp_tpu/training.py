@@ -41,6 +41,31 @@ def make_optimizer(lr: float, total_steps: int, use_scheduler: bool = True):
     return optax.adam(sched, eps=1e-8)
 
 
+def unstack_params(params: dict) -> dict:
+    """BLP-level fast-path view: BERT layers unstacked into per-layer leaves
+    (models/bert.py::unstack_layers). Hold TRAINING state in this layout and
+    restack at checkpoint/eval boundaries — storage and all other consumers
+    keep the canonical stacked tree. No-op for non-BERT models."""
+    if "bert" not in params:
+        return params
+    from blp_tpu.models import bert as bert_mod
+
+    out = dict(params)
+    out["bert"] = bert_mod.unstack_layers(params["bert"])
+    return out
+
+
+def restack_params(params: dict) -> dict:
+    """Inverse of unstack_params (no-op when already stacked / non-BERT)."""
+    if "bert" not in params:
+        return params
+    from blp_tpu.models import bert as bert_mod
+
+    out = dict(params)
+    out["bert"] = bert_mod.restack_layers(params["bert"])
+    return out
+
+
 def make_train_step(
     cfg: blp.ModelConfig,
     optimizer: optax.GradientTransformation,

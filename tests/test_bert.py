@@ -160,3 +160,45 @@ def test_remat_variants_match():
             assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-4
 
         jax.tree.map(check, ref, g)
+
+
+def test_unstacked_layers_match_stacked():
+    """The unstacked per-layer training layout (python loop) must compute
+    the same encoder output and the same train loss as the stacked scan —
+    same layer order, same dropout rng schedule."""
+    import numpy as np
+
+    from blp_tpu import training
+    from blp_tpu.models import blp
+
+    cfg = blp.ModelConfig(model="blp", rel_model="transe", loss_fn="margin",
+                          dim=8, num_relations=3,
+                          encoder=bert.BertConfig.tiny(num_layers=3))
+    params = blp.init_params(jax.random.key(0), cfg)
+    params_u = training.unstack_params(params)
+    assert isinstance(params_u["bert"]["layers"], tuple)
+
+    rng = np.random.default_rng(0)
+    B, L = 4, 12
+    tok = jnp.asarray(rng.integers(1, cfg.encoder.vocab_size, (B, 2, L)))
+    mask = jnp.asarray(np.ones((B, 2, L), np.float32))
+    batch = {"text_tok": tok, "text_mask": mask,
+             "rels": jnp.asarray(rng.integers(0, 3, (B,))),
+             "neg_idx": jnp.asarray(rng.integers(0, 2 * B, (B, 2, 2)))}
+
+    # Deterministic forward parity.
+    a = blp.encode(params, cfg, tok.reshape(2 * B, L), mask.reshape(2 * B, L))
+    b = blp.encode(params_u, cfg, tok.reshape(2 * B, L), mask.reshape(2 * B, L))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-7)
+
+    # Training-mode loss parity (same dropout schedule).
+    key = jax.random.key(7)
+    la = blp.train_loss(params, cfg, batch, deterministic=False, rng=key)
+    lb = blp.train_loss(params_u, cfg, batch, deterministic=False, rng=key)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+
+    # Round trip.
+    back = training.restack_params(params_u)
+    for pa, pb in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
