@@ -17,7 +17,8 @@ p.add_argument("--n", type=int, default=4_800_000)
 p.add_argument("--b", type=int, default=64)
 p.add_argument("--d", type=int, default=128)
 p.add_argument("--f", type=int, default=64)
-p.add_argument("--tiles", type=str, default="1024,2048,4096")
+p.add_argument("--tiles", type=str, default="512,1024")  # >2048 can exceed
+                                                         # scoped VMEM at DC=32
 p.add_argument("--xla-tile", type=int, default=65536)
 p.add_argument("--reps", type=int, default=5)
 args = p.parse_args()
