@@ -53,6 +53,13 @@ def _rebuild(structure, leaves: list):
     return seq if kind == "__list__" else tuple(seq)
 
 
+def peek_metadata(path: str) -> dict:
+    """Read only the metadata blob (no leaf unflattening — usable to decide
+    how to load, e.g. which param layout a train-state file was written in)."""
+    with np.load(path, allow_pickle=False) as data:
+        return json.loads(str(data["__metadata__"]))
+
+
 def load_pytree(path: str, template=None):
     """Returns (tree, metadata). With `template`, leaves are unflattened into
     the template's treedef (required for custom nodes like optax states)."""

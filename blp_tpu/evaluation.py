@@ -80,8 +80,11 @@ def build_entity_table(
     # Clamp the chunk to the candidate count (rounded for clean layout): the
     # 2048 default is tuned for multi-million-entity table builds; on a
     # 135-entity UMLS graph it would make every encoder call 93% padding.
+    # Round UP only to chunk_multiple itself (the mesh divisibility need);
+    # a user-chosen small encode batch is a memory knob and must survive
+    # (ADVICE r03: max(256, ...) silently inflated emb_batch_size=16 16x).
     emb_batch_size = min(_round_up(emb_batch_size, chunk_multiple),
-                         _round_up(max(n, 1), max(256, chunk_multiple)))
+                         _round_up(max(n, 1), chunk_multiple))
     # Chunks stay on device (async dispatch pipelines host tokenized-batch
     # prep with encoder compute; a per-chunk host transfer would serialize
     # every chunk on the device->host round trip).
@@ -277,7 +280,10 @@ def eval_link_prediction(
 
     if ent_emb is None:
         if cfg.is_inductive:
-            chunk_multiple = 256
+            # 4 keeps BERT seq-packing engaged (embed_inputs packs only when
+            # B % 4 == 0) without inflating a user-chosen small encode batch
+            # (ADVICE r03): 16 stays 16, 10 becomes 12 — never 16x.
+            chunk_multiple = 4
             if mesh is not None:
                 # Phase 1 sharded over the mesh: each device encodes its slice
                 # of every chunk (GSPMD data-parallel; the reference builds the

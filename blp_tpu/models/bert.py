@@ -340,7 +340,18 @@ def bert_encode(
         # path exactly (same split rows per layer).
         body_fn = _encoder_layer
         if cfg.remat:
-            body_fn = jax.checkpoint(_encoder_layer, static_argnums=(0,))
+            # Same policy selection as the stacked scan below — remat="dots"/
+            # "names" must not silently degrade to full per-layer recompute
+            # on the unstacked (default single-device training) layout.
+            if cfg.remat == "dots":
+                policy = jax.checkpoint_policies.dots_saveable
+            elif cfg.remat == "names":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "ffn_pre", "ctx", "q", "k", "v")
+            else:
+                policy = None
+            body_fn = jax.checkpoint(_encoder_layer, static_argnums=(0,),
+                                     policy=policy)
         for i, lp in enumerate(layers):
             rngs = None if layer_rngs is None else layer_rngs[i]
             x = body_fn(cfg, x, mask_bias, lp, rngs, dropout_rate)

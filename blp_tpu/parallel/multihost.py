@@ -30,11 +30,19 @@ import numpy as np
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Bring up jax.distributed (no-op when single-process / already up)."""
-    if jax.process_count() > 1:
-        return
+    """Bring up jax.distributed (no-op when single-process / already up).
+
+    Order matters: jax.distributed.initialize() must run before ANY call that
+    initializes the XLA backend — including jax.process_count(). So the
+    single-host early-out checks only the config value, and the
+    already-initialized case is detected via jax.distributed's own client
+    state rather than a backend query (ADVICE r03: querying process_count
+    first made every coordinator_address= run crash at startup).
+    """
     if coordinator_address is None:
-        return  # single-host
+        return  # single-host; never touches the backend
+    if getattr(jax.distributed.global_state, "client", None) is not None:
+        return  # already brought up (e.g. by an outer launcher)
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -286,8 +286,24 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
         # already has — under a mesh the loaded params/opt_state come back
         # sharded exactly as init_parallel_state laid them out (a plain
         # asarray would strand them on one device against a sharded batch).
-        (params, opt_state), meta = _load_like(
-            resume_path, template=(params, opt_state))
+        # State files are written in the canonical STACKED layout (see the
+        # per-epoch _save_state below) so any run can resume any file; when
+        # the live training layout is unstacked (single-device BERT), load
+        # through a stacked template and convert. Legacy marker-less files
+        # were written in the live layout — load them directly.
+        live_unstacked = isinstance(
+            params.get("bert", {}).get("layers"), (tuple, list))
+        if live_unstacked and ckpt.peek_metadata(resume_path).get("layout") == "stacked":
+            stacked_p = training.restack_params(params)
+            # eval_shape: the treedef/shapes of the stacked opt state without
+            # allocating a second 880MB mu/nu on device.
+            tmpl = (stacked_p, jax.eval_shape(optimizer.init, stacked_p))
+            (stacked_p, stacked_o), meta = _load_like(resume_path, template=tmpl)
+            params = training.unstack_params(stacked_p)
+            opt_state = training.unstack_opt_state(stacked_o)
+        else:
+            (params, opt_state), meta = _load_like(
+                resume_path, template=(params, opt_state))
         start_epoch = int(meta["epoch"]) + 1
         best_mrr = float(meta.get("best_mrr", 0.0))
         # The best checkpoint may live under the ORIGINAL run's id (resume
@@ -394,10 +410,15 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
                 log.info(f"New best valid MRR {best_mrr:.4f}; saved {ckpt_file}")
 
         # Full training state for preemption-safe resume (resume=<file>).
-        _save_state(state_file, (params, opt_state),
+        # Always the canonical stacked layout (layout marker in metadata):
+        # a file written by an unstacked single-device run must resume under
+        # a mesh run and vice versa — load_pytree unflattens by leaf order,
+        # so a layout fork in the file would be an opaque unflatten error.
+        _save_state(state_file, (training.restack_params(params),
+                                 training.restack_opt_state(opt_state)),
                     {"epoch": epoch, "best_mrr": best_mrr,
                      "best_ckpt": best_ckpt if osp.exists(best_ckpt) else "",
-                     "run_id": run_id, "seed": cfg.seed})
+                     "run_id": run_id, "seed": cfg.seed, "layout": "stacked"})
 
     # ---- final filtered evaluation from best checkpoint -------------------
     params = training.restack_params(params)

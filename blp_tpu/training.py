@@ -66,6 +66,38 @@ def restack_params(params: dict) -> dict:
     return out
 
 
+def map_param_trees(fn, tree):
+    """Apply `fn` to every params-style dict (one holding a 'bert' subtree)
+    inside an arbitrary container tree — used to convert the param-mirroring
+    mu/nu inside an optax state between the stacked and unstacked layouts.
+    Leaves everything else (counts, namedtuple shells, non-BERT states)
+    untouched."""
+    def rec(node):
+        if isinstance(node, dict):
+            if "bert" in node:
+                return fn(node)
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            vals = [rec(v) for v in node]
+            return type(node)(*vals) if hasattr(node, "_fields") else tuple(vals)
+        if isinstance(node, list):
+            return [rec(v) for v in node]
+        return node
+    return rec(tree)
+
+
+def restack_opt_state(opt_state):
+    """Canonical stacked view of an optimizer state built over unstacked
+    params (checkpoint files always store the stacked layout — a state file
+    must resume regardless of which layout the writing run trained in)."""
+    return map_param_trees(restack_params, opt_state)
+
+
+def unstack_opt_state(opt_state):
+    """Inverse of restack_opt_state."""
+    return map_param_trees(unstack_params, opt_state)
+
+
 def make_train_step(
     cfg: blp.ModelConfig,
     optimizer: optax.GradientTransformation,

@@ -54,6 +54,29 @@ def _leaves(tree):
     return jax.tree.leaves(tree)
 
 
+def test_resume_blp_stacked_state_into_unstacked_run(workdir):
+    """model='blp' trains with UNSTACKED per-layer weights but the state file
+    is written in the canonical stacked layout (layout marker in metadata) —
+    the resume boundary must convert both params and the Adam mu/nu and keep
+    the run bitwise-equal to a straight one (ADVICE r03)."""
+    from blp_tpu.checkpoint import peek_metadata
+
+    kw = dict(model="blp", rel_model="transe", encoder_name="tiny",
+              batch_size=8, num_negatives=4)
+    r_full = link_prediction(_cfg(workdir, run_id="blp-full", max_epochs=2, **kw))
+    link_prediction(_cfg(workdir, run_id="blp-half", max_epochs=2,
+                         stop_after_epochs=1, **kw))
+    state = str(workdir / "output" / "train_state-blp-half.npz")
+    assert peek_metadata(state)["layout"] == "stacked"
+    r_res = link_prediction(_cfg(workdir, run_id="blp-res", max_epochs=2,
+                                 resume=state, **kw))
+    assert np.isclose(r_res["test_mrr"], r_full["test_mrr"], atol=1e-6)
+    p_full, _ = load_pytree(str(workdir / "output" / "train_state-blp-full.npz"))
+    p_res, _ = load_pytree(str(workdir / "output" / "train_state-blp-res.npz"))
+    for a, b in zip(_leaves(p_full), _leaves(p_res)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 def test_auto_resume_same_run_id(workdir):
     """resume='auto' + fixed run_id: a relaunched (preempted) job picks up
     its own train_state file and finishes identically to a straight run."""
