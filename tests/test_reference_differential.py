@@ -1,0 +1,478 @@
+"""Differential parity against the GENUINE reference code.
+
+Every other parity test in this suite compares against torch oracles
+re-implemented inside the test files — a shared misreading of the paper would
+pass them all. These tests import the reference's actual `models.py` and
+`utils.py` from /root/reference (verified importable offline; `data.py` is
+excluded — it needs NLTK corpora at import time) and compare this framework
+against the real code with matched weights and matched inputs:
+
+  * all 4 relational scorers, both losses, L2 reg   (reference models.py:222-266)
+  * full LinkPrediction.compute_loss with matched negative indices
+                                                    (reference models.py:51-70)
+  * BOW / DKRL / BertEmbeddingsLP forwards (encode-only and loss paths)
+    with converted weights                          (reference models.py:96-204)
+  * TransductiveLinkPrediction.forward              (reference models.py:207-219)
+  * utils.get_metrics incl. deliberate ties, the filtered min-1 score trick,
+    make_ent2idx, get_triple_filters on random multigraphs, and both MRR
+    breakdown slicers                               (reference utils.py:31-168)
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+sys.path.insert(0, "/root/reference")
+ref_models = pytest.importorskip("models")
+ref_utils = pytest.importorskip("utils")
+assert ref_models.__file__.startswith("/root/reference"), ref_models.__file__
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from blp_tpu import metrics, utils  # noqa: E402
+from blp_tpu.data.filtering import FilterIndex, build_filters  # noqa: E402
+from blp_tpu.models import bert, blp, scoring  # noqa: E402
+
+REL_MODELS = ["transe", "distmult", "complex", "simple"]
+LOSS_FNS = ["margin", "nll"]
+
+
+def _t(x):
+    return torch.from_numpy(np.ascontiguousarray(x))
+
+
+def _j(x):
+    return jnp.asarray(x)
+
+
+# ---------------------------------------------------------------------------
+# Free functions: scorers, losses, regularization (models.py:222-266)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("rel_model", REL_MODELS)
+def test_scorer_differential(rel_model):
+    rng = np.random.default_rng(11)
+    B, K, d = 7, 5, 12
+    ref_fn = getattr(ref_models, f"{rel_model}_score")
+    ours = scoring.get_score_fn(rel_model)
+
+    h, t, r = (rng.normal(size=(B, d)).astype(np.float32) for _ in range(3))
+    np.testing.assert_allclose(
+        np.asarray(ours(_j(h), _j(t), _j(r))),
+        ref_fn(_t(h), _t(t), _t(r)).numpy(), rtol=1e-5, atol=1e-5)
+
+    # Broadcast form used for in-batch negatives: (B, K, d) vs (B, 1, d) rels.
+    hn, tn = (rng.normal(size=(B, K, d)).astype(np.float32) for _ in range(2))
+    np.testing.assert_allclose(
+        np.asarray(ours(_j(hn), _j(tn), _j(r)[:, None, :])),
+        ref_fn(_t(hn), _t(tn), _t(r).unsqueeze(1)).numpy(),
+        rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("loss_fn", LOSS_FNS)
+def test_loss_differential(loss_fn):
+    rng = np.random.default_rng(5)
+    pos = rng.normal(size=(9, 1)).astype(np.float32) * 3
+    neg = rng.normal(size=(9, 6)).astype(np.float32) * 3
+    want = getattr(ref_models, f"{loss_fn}_loss")(_t(pos), _t(neg)).item()
+    got = float(scoring.get_loss_fn(loss_fn)(_j(pos), _j(neg)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_l2_regularization_differential():
+    rng = np.random.default_rng(6)
+    h, t, r = (rng.normal(size=(8, 10)).astype(np.float32) for _ in range(3))
+    want = ref_models.l2_regularization(_t(h), _t(t), _t(r)).item()
+    got = float(scoring.l2_regularization(_j(h), _j(t), _j(r)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Full compute_loss with matched weights and negative indices (models.py:51-70)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("rel_model", REL_MODELS)
+@pytest.mark.parametrize("loss_fn", LOSS_FNS)
+def test_compute_loss_differential(rel_model, loss_fn):
+    rng = np.random.default_rng(17)
+    B, K, d, NR = 6, 4, 16, 3
+    reg = 0.013 if rel_model in ("simple", "complex") else 0.0
+
+    ref = ref_models.LinkPrediction(d, rel_model, loss_fn, NR, reg)
+    rel_w = rng.normal(size=(NR, d)).astype(np.float32)
+    with torch.no_grad():
+        ref.rel_emb.weight.copy_(_t(rel_w))
+
+    # compute_loss receives already-encoded (and, for TransE, already
+    # normalized) embeddings in both frameworks — feed identical ones.
+    ent = rng.normal(size=(B, 2, d)).astype(np.float32)
+    rels = rng.integers(0, NR, (B, 1))
+    neg_idx = rng.integers(0, 2 * B, (B, K, 2))
+
+    want = ref.compute_loss(_t(ent), _t(rels), _t(neg_idx)).item()
+    got = float(scoring.compute_loss(
+        _j(ent), _j(rel_w)[_j(rels[:, 0])], _j(neg_idx),
+        rel_model=rel_model, loss_fn=loss_fn, regularizer=reg))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Encoder families: matched weights, encode-only AND loss forwards
+# (models.py:78-93 routing, 96-204 encoders)
+# ---------------------------------------------------------------------------
+
+def _text_batch(rng, B, L, V):
+    tok = rng.integers(1, V, (B, 2, L))
+    lengths = rng.integers(1, L + 1, (B, 2))
+    mask = (np.arange(L)[None, None, :] < lengths[:, :, None]).astype(np.float32)
+    return tok, mask
+
+
+def _word_model_pair(tmp_path, model, rel_model, loss_fn, reg, V, E, dim, NR):
+    """Build a reference BOW/DKRL with a saved embedding tensor and the
+    matched blp_tpu params via the public checkpoint converter."""
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "tools"))
+    from convert_reference_checkpoint import convert_state_dict
+
+    torch.manual_seed(23)
+    emb_path = str(tmp_path / "emb.pt")
+    torch.save(torch.randn(V, E), emb_path)
+    if model.endswith("bow"):
+        ref = ref_models.BOW(rel_model, loss_fn, NR, reg, embeddings=emb_path)
+    else:
+        ref = ref_models.DKRL(dim, rel_model, loss_fn, NR, reg,
+                              embeddings=emb_path)
+    ref.eval()
+    params = convert_state_dict(ref.state_dict(), f"glove-{model.split('-')[-1]}")
+    cfg = blp.ModelConfig(model=model, rel_model=rel_model, loss_fn=loss_fn,
+                          dim=dim, emb_dim=E, num_relations=NR,
+                          regularizer=reg, vocab_size=V)
+    return ref, jax.tree.map(_j, params), cfg
+
+
+@pytest.mark.parametrize("rel_model", ["transe", "distmult"])
+def test_bow_forward_differential(tmp_path, rel_model):
+    rng = np.random.default_rng(31)
+    B, L, V, E, NR, K = 5, 9, 30, 14, 3, 4
+    ref, params, cfg = _word_model_pair(
+        tmp_path, "glove-bow", rel_model, "margin", 0.0, V, E, dim=E, NR=NR)
+    tok, mask = _text_batch(rng, B, L, V)
+
+    # Encode-only (rels=None branch, models.py:85-87) incl. TransE normalize.
+    want = ref(_t(tok), _t(mask)).detach().numpy()
+    got = np.asarray(blp.encode(params, cfg, _j(tok.reshape(2 * B, L)),
+                                _j(mask.reshape(2 * B, L))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # Loss forward with matched negative indices.
+    rels = rng.integers(0, NR, (B, 1))
+    neg_idx = rng.integers(0, 2 * B, (B, K, 2))
+    want = ref(_t(tok), _t(mask), _t(rels), _t(neg_idx)).item()
+    batch = {"text_tok": _j(tok), "text_mask": _j(mask),
+             "rels": _j(rels[:, 0]), "neg_idx": _j(neg_idx)}
+    got = float(blp.train_loss(params, cfg, batch, deterministic=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("loss_fn", LOSS_FNS)
+def test_dkrl_forward_differential(tmp_path, loss_fn):
+    """L a multiple of 4: the static-shape DKRL is bit-compatible with the
+    reference's degrading-pool formulation there (encoders.py docstring)."""
+    rng = np.random.default_rng(37)
+    B, L, V, E, D, NR, K = 5, 8, 26, 10, 12, 3, 4
+    ref, params, cfg = _word_model_pair(
+        tmp_path, "glove-dkrl", "distmult", loss_fn, 0.005, V, E, dim=D, NR=NR)
+    tok, mask = _text_batch(rng, B, L, V)
+
+    want = ref(_t(tok), _t(mask)).detach().numpy()
+    got = np.asarray(blp.encode(params, cfg, _j(tok.reshape(2 * B, L)),
+                                _j(mask.reshape(2 * B, L))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    rels = rng.integers(0, NR, (B, 1))
+    neg_idx = rng.integers(0, 2 * B, (B, K, 2))
+    want = ref(_t(tok), _t(mask), _t(rels), _t(neg_idx)).item()
+    batch = {"text_tok": _j(tok), "text_mask": _j(mask),
+             "rels": _j(rels[:, 0]), "neg_idx": _j(neg_idx)}
+    got = float(blp.train_loss(params, cfg, batch, deterministic=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bert_embeddings_lp_differential(tmp_path, monkeypatch):
+    """BertEmbeddingsLP ([CLS] + bias-free projection, models.py:96-111) with
+    the reference class driven by a LOCAL tiny BertModel (from_pretrained is
+    patched — zero egress) and weights converted to this framework."""
+    hf_cfg = transformers.BertConfig(
+        vocab_size=50, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=24)
+    torch.manual_seed(41)
+    local_bert = transformers.BertModel(hf_cfg)
+
+    class _LocalLoader:
+        @staticmethod
+        def from_pretrained(name, **kw):
+            return local_bert
+
+    monkeypatch.setattr(ref_models, "BertModel", _LocalLoader)
+    ref = ref_models.BertEmbeddingsLP(16, "transe", "margin", 3, "local", 0.0)
+    ref.eval()
+
+    sd = ref.state_dict()
+    hf_sd = {k[len("encoder."):]: v for k, v in sd.items()
+             if k.startswith("encoder.")}
+    enc_cfg = bert.BertConfig(
+        vocab_size=50, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=48, max_position_embeddings=24)
+    params = {
+        "rel_emb": _j(sd["rel_emb.weight"].numpy()),
+        "bert": bert.params_from_hf_state_dict(hf_sd, enc_cfg),
+        "proj": _j(sd["enc_linear.weight"].numpy().T),
+    }
+    cfg = blp.ModelConfig(model="blp", rel_model="transe", loss_fn="margin",
+                          dim=16, num_relations=3, encoder=enc_cfg)
+
+    rng = np.random.default_rng(43)
+    B, L, K = 3, 10, 4
+    tok, mask = _text_batch(rng, B, L, 50)
+    with torch.no_grad():
+        want = ref(_t(tok), _t(mask)).numpy()
+    got = np.asarray(blp.encode(params, cfg, _j(tok.reshape(2 * B, L)),
+                                _j(mask.reshape(2 * B, L))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    rels = rng.integers(0, 3, (B, 1))
+    neg_idx = rng.integers(0, 2 * B, (B, K, 2))
+    with torch.no_grad():
+        want = ref(_t(tok), _t(mask), _t(rels), _t(neg_idx)).item()
+    batch = {"text_tok": _j(tok), "text_mask": _j(mask),
+             "rels": _j(rels[:, 0]), "neg_idx": _j(neg_idx)}
+    got = float(blp.train_loss(params, cfg, batch, deterministic=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_transductive_forward_differential():
+    rng = np.random.default_rng(47)
+    B, d, NE, NR, K = 6, 12, 20, 3, 5
+    ref = ref_models.TransductiveLinkPrediction(d, "transe", "margin", NE, NR, 0.0)
+    ent_w = rng.normal(size=(NE, d)).astype(np.float32)
+    rel_w = rng.normal(size=(NR, d)).astype(np.float32)
+    with torch.no_grad():
+        ref.ent_emb.weight.copy_(_t(ent_w))
+        ref.rel_emb.weight.copy_(_t(rel_w))
+
+    pairs = rng.integers(0, NE, (B, 2))
+    rels = rng.integers(0, NR, (B, 1))
+    neg_idx = rng.integers(0, 2 * B, (B, K, 2))
+    want = ref(_t(pairs), _t(rels), _t(neg_idx)).item()
+
+    cfg = blp.ModelConfig(model="transductive", rel_model="transe",
+                          loss_fn="margin", dim=d, num_entities=NE,
+                          num_relations=NR)
+    params = {"ent_emb": _j(ent_w), "rel_emb": _j(rel_w)}
+    batch = {"pos_pairs": _j(pairs), "rels": _j(rels[:, 0]),
+             "neg_idx": _j(neg_idx)}
+    got = float(blp.train_loss(params, cfg, batch, deterministic=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_unknown_names_raise_like_reference():
+    with pytest.raises(ValueError):
+        ref_models.LinkPrediction(8, "nonsense", "margin", 2, 0)
+    with pytest.raises(ValueError):
+        scoring.get_score_fn("nonsense")
+    with pytest.raises(ValueError):
+        ref_models.LinkPrediction(8, "transe", "nonsense", 2, 0)
+    with pytest.raises(ValueError):
+        scoring.get_loss_fn("nonsense")
+
+
+# ---------------------------------------------------------------------------
+# Metrics and filters (utils.py:31-168)
+# ---------------------------------------------------------------------------
+
+def test_get_metrics_differential_with_ties():
+    rng = np.random.default_rng(53)
+    B, N = 12, 40
+    # Integer-quantized scores: heavy deliberate ties exercise the
+    # average-rank (best+worst)/2 path, not just strict ordering.
+    scores = rng.integers(0, 6, (B, N)).astype(np.float32)
+    true_idx = rng.integers(0, N, (B, 1))
+
+    want_r, want_h = ref_utils.get_metrics(
+        _t(scores), _t(true_idx), torch.tensor([[1, 3, 10]]))
+    got_r, got_h = metrics.get_metrics(_j(scores), _j(true_idx[:, 0]), (1, 3, 10))
+    np.testing.assert_allclose(np.asarray(got_r), want_r.numpy()[:, 0],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_h), want_h.numpy())
+
+
+def test_filtered_min_trick_differential():
+    """The reference filters by setting masked scores to min-1
+    (train.py:163-165) then ranking; this framework drops them from the
+    tie-aware counts. Both must yield identical reciprocals and hits."""
+    rng = np.random.default_rng(59)
+    B, N = 10, 30
+    scores = rng.integers(0, 5, (B, N)).astype(np.float32)
+    true_idx = rng.integers(0, N, (B, 1))
+    mask = rng.random((B, N)) < 0.2
+    mask[np.arange(B), true_idx[:, 0]] = False  # never filter the true answer
+
+    pred = _t(scores).clone()
+    pred[_t(mask)] = pred.min() - 1.0
+    want_r, want_h = ref_utils.get_metrics(
+        pred, _t(true_idx), torch.tensor([[1, 3, 10]]))
+
+    true_scores = np.take_along_axis(scores, true_idx, axis=1)
+    gt, geq = metrics.rank_counts(_j(scores), _j(true_scores),
+                                  valid_mask=_j(~mask))
+    ranks = metrics.ranks_from_counts(gt, geq)
+    got_r, got_h = metrics.metrics_from_ranks(ranks, (1, 3, 10))
+    np.testing.assert_allclose(np.asarray(got_r), want_r.numpy()[:, 0],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_h), want_h.numpy())
+
+
+def test_make_ent2idx_differential():
+    rng = np.random.default_rng(61)
+    ents = rng.choice(50, size=17, replace=False)
+    want = ref_utils.make_ent2idx(_t(ents), 49).numpy()
+    got = utils.make_ent2idx(ents, 49)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_get_triple_filters_differential():
+    """Random multigraph (parallel edges, self-substitutable answers) —
+    reference walks the nx.MultiDiGraph per triple (utils.py:46-83); this
+    framework queries a vectorized sorted multimap and emits sparse
+    positions. Densified, the masks must match exactly."""
+    nx = pytest.importorskip("networkx")
+    rng = np.random.default_rng(67)
+    NE, NR, T, B = 25, 4, 160, 20
+    triples = np.stack([rng.integers(0, NE, T), rng.integers(0, NE, T),
+                        rng.integers(0, NR, T)], axis=1)
+
+    graph = nx.MultiDiGraph()
+    graph.add_weighted_edges_from(triples.tolist())
+
+    # Candidate set is a strict subset: exercises the ent2idx == -1 drops.
+    candidates = np.sort(rng.choice(NE, size=18, replace=False))
+    ent2idx_ref = ref_utils.make_ent2idx(_t(candidates), NE - 1)
+    eval_triples = triples[rng.choice(T, B, replace=False)]
+
+    want_h, want_t = ref_utils.get_triple_filters(
+        _t(eval_triples), graph, len(candidates), ent2idx_ref)
+
+    ent2idx = utils.make_ent2idx(candidates, NE - 1)
+    fidx = FilterIndex(triples)
+    pos_h, pos_t = build_filters(eval_triples, fidx, ent2idx)
+
+    def densify(pos):
+        out = np.zeros((B, len(candidates)), bool)
+        for i, row in enumerate(pos):
+            out[i, row[row >= 0]] = True
+        return out
+
+    np.testing.assert_array_equal(densify(pos_h), want_h.numpy())
+    np.testing.assert_array_equal(densify(pos_t), want_t.numpy())
+
+
+def test_split_by_new_position_differential():
+    rng = np.random.default_rng(71)
+    B, NE = 15, 30
+    triples = np.stack([rng.integers(0, NE, B), rng.integers(0, NE, B),
+                        rng.integers(0, 3, B)], axis=1)
+    recips = rng.random(2 * B).astype(np.float32)
+    new_ents = set(rng.choice(NE, size=12, replace=False).tolist())
+
+    want_mrr, want_cnt = ref_utils.split_by_new_position(
+        _t(triples), _t(recips), new_ents)
+
+    mask = np.zeros(NE, bool)
+    mask[list(new_ents)] = True
+    got_mrr, got_cnt = metrics.split_by_new_position(triples, recips, _j(mask))
+    np.testing.assert_allclose(np.asarray(got_mrr), want_mrr.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_cnt), want_cnt.numpy())
+
+
+def _import_reference_data(tmp_path_factory):
+    """Import the reference's data.py offline: it needs the NLTK 'stopwords'
+    corpus at module import (data.py:12-14). The corpus is a plain word list,
+    which this framework ships hermetically (blp_tpu/data/text.py) — write it
+    as a local NLTK corpus so the GENUINE module loads. punkt (a pickled
+    model) stays absent; tests below avoid tokenization entry points."""
+    import nltk
+
+    from blp_tpu.data.text import STOP_WORDS
+
+    root = tmp_path_factory.mktemp("nltk_data")
+    corpus = root / "corpora" / "stopwords"
+    corpus.mkdir(parents=True)
+    (corpus / "english").write_text("\n".join(sorted(STOP_WORDS)) + "\n")
+    nltk.data.path.insert(0, str(root))
+    try:
+        import data as ref_data
+    except LookupError:
+        pytest.skip("reference data.py not importable offline")
+    assert ref_data.__file__.startswith("/root/reference")
+    return ref_data
+
+
+def test_negative_sampler_differential(tmp_path_factory):
+    """get_negative_sampling_indices (reference data.py:35-81) vs the
+    on-device sampler: exact equality is impossible across RNGs, so both
+    outputs are pushed through the same invariant + distribution checker —
+    per (row, k) exactly one column is corrupted, the kept column keeps its
+    own slot, the corrupted value is uniform over the 2B-2 out-of-row slots,
+    and the head/tail coin is fair."""
+    ref_data = _import_reference_data(tmp_path_factory)
+    from blp_tpu.data.sampling import sample_negative_indices
+
+    B, K = 8, 4096  # large K: tight empirical distribution bounds
+    torch.manual_seed(97)
+    ref_idx = ref_data.get_negative_sampling_indices(B, K).numpy()
+    our_idx = np.asarray(sample_negative_indices(jax.random.key(97), B, K))
+
+    def check(neg_idx):
+        assert neg_idx.shape == (B, K, 2)
+        own = np.stack([2 * np.arange(B), 2 * np.arange(B) + 1], axis=1)
+        head_kept = neg_idx[:, :, 0] == own[:, None, 0]
+        tail_kept = neg_idx[:, :, 1] == own[:, None, 1]
+        # Exactly one side corrupted, and never to a same-row slot.
+        assert np.all(head_kept ^ tail_kept)
+        corrupted = np.where(head_kept, neg_idx[:, :, 1], neg_idx[:, :, 0])
+        assert not np.any((corrupted == own[:, None, 0]) |
+                          (corrupted == own[:, None, 1]))
+        # Fair coin over which side is corrupted.
+        assert abs(head_kept.mean() - 0.5) < 0.02
+        # Corrupted slots ~ uniform over the 2B - 2 complement slots.
+        for b in range(B):
+            counts = np.bincount(corrupted[b], minlength=2 * B).astype(float)
+            counts = np.delete(counts, [2 * b, 2 * b + 1])
+            expected = K / (2 * B - 2)
+            assert np.all(np.abs(counts - expected) < 6 * np.sqrt(expected))
+
+    check(ref_idx)
+    check(our_idx)
+
+
+def test_split_by_category_differential():
+    rng = np.random.default_rng(73)
+    B, NR = 17, 5
+    triples = np.stack([rng.integers(0, 30, B), rng.integers(0, 30, B),
+                        rng.integers(0, NR, B)], axis=1)
+    recips = rng.random(2 * B).astype(np.float32)
+    cats = rng.integers(0, 4, NR)
+
+    want_mrr, want_cnt = ref_utils.split_by_category(
+        _t(triples), _t(recips), _t(cats))
+    got_mrr, got_cnt = metrics.split_by_category(triples, recips, _j(cats))
+    np.testing.assert_allclose(np.asarray(got_mrr), want_mrr.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_cnt), want_cnt.numpy())
