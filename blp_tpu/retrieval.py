@@ -132,10 +132,14 @@ def embed_texts(params, mcfg, tokenizer, texts: list[str], *, max_len: int,
                 batch_size: int, drop_stopwords: bool) -> np.ndarray:
     """Encode a list of texts with the frozen encoder, fixed-shape batches."""
 
+    from blp_tpu.evaluation import _unstack_for_encode
+
+    params_enc = _unstack_for_encode(params)  # +9% fwd-only (view, not copy)
+
     def encode_batch(tok, mask):
         # Shared module-level jitted encoder: one compile per (config, shape),
         # params as a runtime argument (see blp.encode_jit).
-        return blp.encode_jit(params, mcfg, tok, mask)
+        return blp.encode_jit(params_enc, mcfg, tok, mask)
 
     out = []
     for start in range(0, len(texts), batch_size):

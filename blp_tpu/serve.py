@@ -60,6 +60,9 @@ class LinkPredictor:
     _table: jax.Array | None = None          # (Np, d) padded
     _num_valid: int = 0
     _candidate_ids: np.ndarray | None = None  # (N,) external ids
+    # cached unstacked-layer view of params for the encode fast path
+    _params_enc: dict | None = None
+    _params_enc_src: dict | None = None
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: blp.ModelConfig, *,
@@ -80,7 +83,15 @@ class LinkPredictor:
         return self._encode(self.params, jnp.asarray(tok), jnp.asarray(mask))
 
     def _encode(self, params, tok, mask):
-        return blp.encode_jit(params, self.cfg, tok, mask)
+        # Unstacked per-layer view: straight-line layers beat the rolled scan
+        # forward-only (+9% on v5e, see evaluation._unstack_for_encode);
+        # cached so repeated queries reuse the same param identity/jit entry.
+        if self._params_enc is None or params is not self._params_enc_src:
+            from blp_tpu import evaluation
+
+            self._params_enc_src = params
+            self._params_enc = evaluation._unstack_for_encode(params)
+        return blp.encode_jit(self._params_enc, self.cfg, tok, mask)
 
     # -- candidate universe ----------------------------------------------------
 

@@ -202,3 +202,75 @@ def test_unstacked_layers_match_stacked():
     back = training.restack_params(params_u)
     for pa, pb in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_poly_gelu_accuracy():
+    """The fast_inference GeLU polynomial must stay within its documented
+    bound of exact erf-GeLU: abs error <= 4.2e-4 on the fitted range and
+    relative error <= 3.2e-5 for large |x| (clamp region) — both far below
+    bf16 round-off."""
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 200001), jnp.float32)
+    exact = jax.nn.gelu(x, approximate=False)
+    fast = bert.poly_gelu(x)
+    err = np.abs(np.asarray(fast) - np.asarray(exact))
+    inside = np.abs(np.asarray(x)) <= 4.0
+    assert err[inside].max() <= 4.5e-4
+    # Clamp region: Phi pinned to [0, 1], so the negative tail decays to the
+    # exact gelu's underflow (<=|x|*(1-Phi(4))) and the positive tail is
+    # relative-bounded by 1 - Phi(4) = 3.2e-5.
+    assert err[~inside].max() <= 4.5e-4
+    rel = err[~inside] / np.maximum(np.abs(np.asarray(exact))[~inside], 1e-6)
+    assert rel[np.asarray(x)[~inside] > 0].max() <= 4e-5
+
+
+def test_fast_inference_only_on_bf16_deterministic():
+    """fp32 encodes must NEVER take the fast path (bit-exact regardless of
+    the flag); bf16 deterministic encodes must (flag-controlled), staying
+    within the bf16 noise envelope of the exact-erf path."""
+    import dataclasses
+
+    cfg32 = bert.BertConfig.tiny(num_heads=4)
+    params = bert.init_bert_params(jax.random.key(0), cfg32)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(1, cfg32.vocab_size, (4, 16)))
+    lens = rng.integers(2, 17, 4)
+    mask = jnp.asarray((np.arange(16)[None] < lens[:, None]).astype(np.float32))
+
+    a = bert.bert_encode(params, ids, mask, cfg32)
+    b = bert.bert_encode(params, ids, mask,
+                         dataclasses.replace(cfg32, fast_inference=False))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg16 = dataclasses.replace(cfg32, compute_dtype=jnp.bfloat16)
+    fast = bert.bert_encode(params, ids, mask, cfg16)
+    exact = bert.bert_encode(params, ids, mask,
+                             dataclasses.replace(cfg16, fast_inference=False))
+    # Same class as bf16-vs-fp32 noise; must differ from fp32 by no more
+    # than ~2x the exact-erf bf16 path does.
+    ref32 = np.asarray(a, np.float32)
+    d_fast = np.abs(np.asarray(fast, np.float32) - ref32).max()
+    d_exact = np.abs(np.asarray(exact, np.float32) - ref32).max()
+    assert d_fast <= 2.0 * max(d_exact, 1e-3)
+
+    # Training-mode (non-deterministic) bf16 still uses the exact layer:
+    # gradients flow through erf, not the polynomial.
+    g = jax.grad(lambda p: jnp.sum(bert.bert_encode(
+        p, ids, mask, cfg16, deterministic=False,
+        dropout_rng=jax.random.key(1)).astype(jnp.float32)))(params)
+    assert np.isfinite(np.asarray(jax.tree.leaves(g)[0], np.float32)).all()
+
+
+def test_fast_inference_unstacked_matches_scan():
+    """The fast layer must agree between the stacked scan and the unstacked
+    python loop (the eval table build uses the latter) within bf16 rounding —
+    XLA fuses across layer boundaries differently in the two program shapes,
+    so bit-identity is not guaranteed (nor was it for the exact layer)."""
+    cfg = bert.BertConfig.tiny(num_heads=4, num_layers=3,
+                               compute_dtype=jnp.bfloat16)
+    params = bert.init_bert_params(jax.random.key(2), cfg)
+    pu = bert.unstack_layers(params)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 16)))
+    a = np.asarray(bert.bert_encode(params, ids, None, cfg), np.float32)
+    b = np.asarray(bert.bert_encode(pu, ids, None, cfg), np.float32)
+    np.testing.assert_allclose(a, b, atol=3e-2, rtol=2e-2)
