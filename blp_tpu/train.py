@@ -144,16 +144,16 @@ def _load_like(path: str, template, metadata_only: bool = False):
     jnp.asarray would put the loaded copy on one device while the batch stays
     sharded — the next step would then mix placements)."""
     tree, meta = ckpt.load_pytree(path, template=template)
+    return jax.tree.map(_place_leaf, tree, template), meta
 
-    def place(v, t):
-        # Only commit to multi-device (mesh) shardings; a single-device
-        # template leaf stays an uncommitted jnp array (committing it to one
-        # device would conflict with mesh-committed peers in the same jit).
-        if isinstance(t, jax.Array) and t.sharding.num_devices > 1:
-            return jax.device_put(jnp.asarray(v), t.sharding)
-        return jnp.asarray(v)
 
-    return jax.tree.map(place, tree, template), meta
+def _place_leaf(v, t):
+    # Only commit to multi-device (mesh) shardings; a single-device
+    # template leaf stays an uncommitted jnp array (committing it to one
+    # device would conflict with mesh-committed peers in the same jit).
+    if isinstance(t, jax.Array) and t.sharding.num_devices > 1:
+        return jax.device_put(jnp.asarray(v), t.sharding)
+    return jnp.asarray(v)
 
 
 def link_prediction(cfg: ExperimentConfig) -> dict:
@@ -234,9 +234,16 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
 
         mesh = mesh_lib.make_mesh(cfg.num_data_shards, cfg.num_model_shards)
         log.info(f"Mesh: data={cfg.num_data_shards} model={cfg.num_model_shards}")
+        tp = cfg.num_model_shards > 1 and cfg.model == "blp"
+        if not tp:
+            # DP-only meshes train in the same UNSTACKED per-layer layout as
+            # the single-device path (+9% step, models/bert.py) — replicated
+            # weights don't care about the stack, and each shard's dW lands
+            # in its own buffer instead of a DUS into the stacked (12, ...)
+            # gradient. TP stays stacked (canonical Megatron specs).
+            params = training.unstack_params(params)
         params, opt_state, _ = train_parallel.init_parallel_state(
-            params, optimizer, mesh,
-            tensor_parallel=cfg.num_model_shards > 1 and cfg.model == "blp")
+            params, optimizer, mesh, tensor_parallel=tp)
         train_step = train_parallel.make_parallel_train_step(
             mcfg, optimizer, batch_size=cfg.batch_size,
             num_negatives=cfg.num_negatives)
@@ -295,12 +302,18 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
             params.get("bert", {}).get("layers"), (tuple, list))
         if live_unstacked and ckpt.peek_metadata(resume_path).get("layout") == "stacked":
             stacked_p = training.restack_params(params)
-            # eval_shape: the treedef/shapes of the stacked opt state without
-            # allocating a second 880MB mu/nu on device.
+            # eval_shape: the treedefs/shapes of the stacked state without
+            # allocating a second 880MB mu/nu on device. Load raw through the
+            # stacked treedef, convert to the live unstacked layout, THEN
+            # place against the live state — under a DP mesh the live leaves
+            # carry the init_parallel_state shardings the loaded copy must
+            # re-acquire.
             tmpl = (stacked_p, jax.eval_shape(optimizer.init, stacked_p))
-            (stacked_p, stacked_o), meta = _load_like(resume_path, template=tmpl)
-            params = training.unstack_params(stacked_p)
-            opt_state = training.unstack_opt_state(stacked_o)
+            raw, meta = ckpt.load_pytree(resume_path, template=tmpl)
+            converted = (training.unstack_params(raw[0]),
+                         training.unstack_opt_state(raw[1]))
+            params, opt_state = jax.tree.map(_place_leaf, converted,
+                                             (params, opt_state))
         else:
             (params, opt_state), meta = _load_like(
                 resume_path, template=(params, opt_state))

@@ -67,6 +67,31 @@ def test_resume_under_mesh_bitwise(workdir):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
+def test_blp_dp_mesh_unstacked_resume(workdir):
+    """model='blp' on a DP-only mesh trains UNSTACKED (round-4); the state
+    file stays canonical stacked, so resume crosses layout AND placement:
+    stacked npz -> unstacked tuple tree -> re-placed on the mesh. Must be
+    bitwise-equal to a straight run."""
+    from blp_tpu.checkpoint import load_pytree, peek_metadata
+    import jax
+
+    kw = dict(model="blp", rel_model="transe", encoder_name="tiny",
+              num_data_shards=8, max_epochs=2, batch_size=16,
+              num_negatives=8)
+    r_full = link_prediction(_cfg(workdir, run_id="blp-mesh-full", **kw))
+    link_prediction(_cfg(workdir, run_id="blp-mesh-half",
+                         stop_after_epochs=1, **kw))
+    state = str(workdir / "output" / "train_state-blp-mesh-half.npz")
+    assert peek_metadata(state)["layout"] == "stacked"
+    r_res = link_prediction(_cfg(workdir, run_id="blp-mesh-res", resume=state,
+                                 **kw))
+    assert np.isclose(r_res["test_mrr"], r_full["test_mrr"], atol=1e-6)
+    p_full, _ = load_pytree(str(workdir / "output" / "train_state-blp-mesh-full.npz"))
+    p_res, _ = load_pytree(str(workdir / "output" / "train_state-blp-mesh-res.npz"))
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_res)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 def test_multihost_data_path_matches_plain(workdir):
     """The LocalBatcher/global_batch epoch loop (what a pod slice runs) must
     produce the same training trajectory as the plain sharded path — same
