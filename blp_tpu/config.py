@@ -59,6 +59,10 @@ class ExperimentConfig:
                                         # no train-sample eval (train.py:297-315)
     num_data_shards: int = 1            # data-parallel shards (mesh 'data' axis)
     num_model_shards: int = 1           # tensor-parallel shards ('model' axis)
+    num_pipe_shards: int = 1            # pipeline-parallel stages ('pipe' axis,
+                                        # model=blp only; layer stack sliced
+                                        # over stages — parallel/pipeline.py)
+    num_microbatches: int = 4           # GPipe microbatches per step (PP only)
     log_every_frac: float = 0.05        # batch-loss logging interval
     # Multi-host (pod-slice) bring-up over DCN. When coordinator_address is
     # set, jax.distributed initializes before the mesh is built and the epoch

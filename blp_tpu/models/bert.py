@@ -65,6 +65,23 @@ class BertConfig:
     # fp32 softmax, and FFN/LN are per-token. "auto" picks the largest
     # pack <= 4 with pack*S <= 128 that divides the batch; 1 disables.
     seq_pack: Any = "auto"
+    # Mixed-precision TRAINING structure (compute_dtype != float32 only; the
+    # fp32 parity mode ignores it). The round-3 layer kept every GEMM output
+    # and the attention probs in f32 through dropout and the residual adds —
+    # more conservative than the standard bf16 recipe (bf16 activations and
+    # residual stream; f32 LN statistics, softmax, loss, and Adam state, all
+    # of which this keeps). Flipping to the standard recipe:
+    #   * attention-probs dropout applied AFTER the bf16 cast the ctx einsum
+    #     needs anyway (same mask, one less f32 round-trip of (B,nh,S,S));
+    #   * attn-out/FFN-out GEMMs emit bf16 into dropout + residual LN;
+    #   * head-major projection einsums (see fast_inference) — wins only in
+    #     combination with the bf16 outs (alone it is ~0.4 ms WORSE in bwd).
+    # Measured on the v5e flagship step (B=128, unstacked): 44.6 -> 40.9 ms
+    # (+9% throughput, 3,130 t/s). Dropout masks, schedule, and every f32
+    # accumulation point are unchanged; quality A/B on the on-chip typed-
+    # graph task matches within noise (PERFORMANCE.md). False restores the
+    # round-3 f32-materialization layer exactly.
+    mixed_precision_train: bool = True
     # Inference fast path (deterministic=True AND compute_dtype != float32
     # only — the fp32 parity mode always runs the exact erf layer). Restores
     # nothing the training pass needs and changes activations by LESS than
@@ -304,30 +321,59 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
 
     from jax.ad_checkpoint import checkpoint_name
 
+    # Mixed-precision structure: see BertConfig.mixed_precision_train.
+    mp = cfg.mixed_precision_train and dt != jnp.float32
+
     # NOTE (measured, do not re-try): fusing q/k/v into one (H, 3H) GEMM via
     # an in-body weight concat LOSES on v5e — 1,872 vs 2,052 triples/s on the
     # flagship step. The concat cannot be hoisted out of the layer scan (the
     # scanned weights differ per iteration) and its backward adds a gradient
     # split + copy per layer; XLA already overlaps the three small GEMMs.
-    q = _dense(x, lp["q_w"], lp["q_b"], dt, dt).reshape(B, S, nh, hd)
-    k = _dense(x, lp["k_w"], lp["k_b"], dt, dt).reshape(B, S, nh, hd)
-    v = _dense(x, lp["v_w"], lp["v_b"], dt, dt).reshape(B, S, nh, hd)
-    q, k, v = (checkpoint_name(t, n) for t, n in ((q, "q"), (k, "k"), (v, "v")))
+    if mp:
+        # Head-major projections (no transpose copies); only a win together
+        # with the bf16 GEMM outs below (alone: ~0.4 ms worse in backward).
+        xb = x.astype(dt)
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt), k.astype(dt),
-                        preferred_element_type=jnp.float32)
+        def proj(w, b):
+            out = jnp.einsum("bsh,hnd->bnsd", xb,
+                             w.astype(dt).reshape(H, nh, hd),
+                             preferred_element_type=jnp.float32)
+            return (out + b.reshape(nh, 1, hd)).astype(dt)
+
+        q = proj(lp["q_w"], lp["q_b"])
+        k = proj(lp["k_w"], lp["k_b"])
+        v = proj(lp["v_w"], lp["v_b"])
+        q, k, v = (checkpoint_name(t, n) for t, n in ((q, "q"), (k, "k"), (v, "v")))
+        logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                            preferred_element_type=jnp.float32)
+    else:
+        q = _dense(x, lp["q_w"], lp["q_b"], dt, dt).reshape(B, S, nh, hd)
+        k = _dense(x, lp["k_w"], lp["k_b"], dt, dt).reshape(B, S, nh, hd)
+        v = _dense(x, lp["v_w"], lp["v_b"], dt, dt).reshape(B, S, nh, hd)
+        q, k, v = (checkpoint_name(t, n) for t, n in ((q, "q"), (k, "k"), (v, "v")))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt), k.astype(dt),
+                            preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(hd) + mask_bias
     # NOTE (measured, do not re-try): materializing probs in bf16 via an
-    # explicit post-softmax cast is a no-op on v5e — XLA already picks the
-    # consumer dtype (the ctx einsum casts to `dt`) for the buffer.
+    # explicit post-softmax cast is a no-op on v5e WITHOUT dropout — XLA
+    # already picks the consumer dtype for the buffer. WITH dropout the cast
+    # position matters: applying the mask after the cast (mp path) saves the
+    # f32 round-trip of the dropped probs (~1.4 ms/step).
     probs = jax.nn.softmax(logits, axis=-1)
+    if mp:
+        probs = probs.astype(dt)
     if dropout_rngs is not None and cfg.attention_dropout > 0.0:
         probs = _rng_dropout(probs, dropout_rngs[0], cfg.attention_dropout)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v.astype(dt),
-                     preferred_element_type=jnp.float32)
+    if mp:
+        ctx = jnp.einsum("bnqk,bnkd->bqnd", probs, v,
+                         preferred_element_type=jnp.float32)
+    else:
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v.astype(dt),
+                         preferred_element_type=jnp.float32)
     ctx = checkpoint_name(ctx.reshape(B, S, H), "ctx")
 
-    attn_out = _dense(ctx, lp["attn_out_w"], lp["attn_out_b"], dt)
+    od = dt if mp else None
+    attn_out = _dense(ctx, lp["attn_out_w"], lp["attn_out_b"], dt, od)
     if dropout_rngs is not None and dropout_rate > 0.0:
         attn_out = _rng_dropout(attn_out, dropout_rngs[1], dropout_rate)
     x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
@@ -340,7 +386,7 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     ffn = checkpoint_name(_dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt, dt),
                           "ffn_pre")
     ffn = jax.nn.gelu(ffn, approximate=False)
-    ffn = _dense(ffn, lp["ffn_out_w"], lp["ffn_out_b"], dt)
+    ffn = _dense(ffn, lp["ffn_out_w"], lp["ffn_out_b"], dt, od)
     if dropout_rngs is not None and dropout_rate > 0.0:
         ffn = _rng_dropout(ffn, dropout_rngs[2], dropout_rate)
     x = _layer_norm(x + ffn, lp["ffn_ln_scale"], lp["ffn_ln_bias"],

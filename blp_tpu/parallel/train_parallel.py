@@ -30,7 +30,7 @@ from blp_tpu.parallel import mesh as mesh_lib
 
 
 def init_parallel_state(params, optimizer, mesh: Mesh, *,
-                        tensor_parallel: bool = True):
+                        tensor_parallel: bool = True, shardings=None):
     """Shard params per the TP layout and build a matching optimizer state.
 
     The opt state is COMMITTED to the mesh explicitly: Adam's mu/nu follow the
@@ -38,9 +38,14 @@ def init_parallel_state(params, optimizer, mesh: Mesh, *,
     jit propagation alone does NOT do this — optimizer.init's zeros_like
     outputs are input-value-independent, so XLA leaves them uncommitted on the
     default device; a later resume that re-places leaves \"like the template\"
-    would then commit the opt state to one device against 8-device params."""
-    shardings = mesh_lib.param_shardings(params, mesh,
-                                         tensor_parallel=tensor_parallel)
+    would then commit the opt state to one device against 8-device params.
+
+    `shardings` overrides the layout (e.g. the pipeline stage slicing of
+    parallel/pipeline.py); default is the DP/TP layout of mesh.param_shardings.
+    """
+    if shardings is None:
+        shardings = mesh_lib.param_shardings(params, mesh,
+                                             tensor_parallel=tensor_parallel)
     params = jax.device_put(params, shardings)
     opt_state = jax.jit(optimizer.init)(params)
     repl = NamedSharding(mesh, P())

@@ -226,10 +226,31 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
     total_steps = max(steps_per_epoch * cfg.max_epochs, 1)
     optimizer = training.make_optimizer(cfg.lr, total_steps, cfg.use_scheduler)
 
-    # SPMD over a (data, model) mesh when more than one shard is requested
-    # (replaces the reference's torch DataParallel, train.py:329-330).
+    # SPMD over a (data, model) or (data, pipe) mesh when more than one shard
+    # is requested (replaces the reference's torch DataParallel,
+    # train.py:329-330).
     mesh = None
-    if cfg.num_data_shards * cfg.num_model_shards > 1:
+    if cfg.num_pipe_shards > 1:
+        if cfg.num_model_shards > 1:
+            raise ValueError("num_pipe_shards and num_model_shards are "
+                             "mutually exclusive meshes (data x pipe vs "
+                             "data x model)")
+        from blp_tpu.parallel import pipeline as pipe_lib, train_parallel
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = pipe_lib.make_pipeline_mesh(cfg.num_data_shards,
+                                           cfg.num_pipe_shards)
+        log.info(f"Mesh: data={cfg.num_data_shards} pipe={cfg.num_pipe_shards}")
+        specs = pipe_lib.pipeline_param_specs(params)
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                 is_leaf=lambda x: isinstance(x, P))
+        params, opt_state, _ = train_parallel.init_parallel_state(
+            params, optimizer, mesh, shardings=shardings)
+        train_step = pipe_lib.make_pipeline_train_step(
+            mcfg, optimizer, mesh=mesh, batch_size=cfg.batch_size,
+            num_negatives=cfg.num_negatives,
+            num_microbatches=cfg.num_microbatches)
+    elif cfg.num_data_shards * cfg.num_model_shards > 1:
         from blp_tpu.parallel import mesh as mesh_lib, train_parallel
 
         mesh = mesh_lib.make_mesh(cfg.num_data_shards, cfg.num_model_shards)

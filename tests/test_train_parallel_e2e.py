@@ -92,6 +92,35 @@ def test_blp_dp_mesh_unstacked_resume(workdir):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
+def test_blp_pipeline_driver_runs_and_resumes(workdir):
+    """Pipeline parallelism through the CLI driver (round-4: num_pipe_shards
+    config key): a (data=4, pipe=2) mesh trains, evals under the mesh, and a
+    stop/resume run is bitwise-equal to a straight one (PP dropout streams
+    derive from the folded step key, so the schedule replays)."""
+    from blp_tpu.checkpoint import load_pytree
+    import jax
+
+    kw = dict(model="blp", rel_model="transe", encoder_name="tiny",
+              num_data_shards=4, num_pipe_shards=2, num_microbatches=2,
+              max_epochs=2, batch_size=16, num_negatives=8)
+    r_full = link_prediction(_cfg(workdir, run_id="pp-full", **kw))
+    assert r_full["test_mrr"] > 0
+    link_prediction(_cfg(workdir, run_id="pp-half", stop_after_epochs=1, **kw))
+    state = str(workdir / "output" / "train_state-pp-half.npz")
+    r_res = link_prediction(_cfg(workdir, run_id="pp-res", resume=state, **kw))
+    assert np.isclose(r_res["test_mrr"], r_full["test_mrr"], atol=1e-6)
+    p_full, _ = load_pytree(str(workdir / "output" / "train_state-pp-full.npz"))
+    p_res, _ = load_pytree(str(workdir / "output" / "train_state-pp-res.npz"))
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_res)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_pipe_and_model_shards_mutually_exclusive(workdir):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        link_prediction(_cfg(workdir, run_id="pp-tp", num_pipe_shards=2,
+                             num_model_shards=2))
+
+
 def test_multihost_data_path_matches_plain(workdir):
     """The LocalBatcher/global_batch epoch loop (what a pod slice runs) must
     produce the same training trajectory as the plain sharded path — same
