@@ -160,3 +160,70 @@ def test_dense_top_k_matches_tiled(rel_model, corrupt):
                                  rel_model=rel_model, corrupt=corrupt)
     np.testing.assert_array_equal(np.asarray(di), np.asarray(ti))
     np.testing.assert_allclose(np.asarray(ds), np.asarray(ts), rtol=1e-6)
+
+
+def test_serve_loop_daemon_batching_and_errors():
+    """The stdin-JSONL daemon: batched mixed requests (entity-name lookups,
+    ad-hoc text encodes, head/tail ops, bad requests) produce per-request
+    responses matching direct predict calls; malformed requests fail in
+    isolation."""
+    import json
+    import queue
+
+    from blp_tpu.models import bert
+
+    ents = [f"E{i}" for i in range(20)]
+    rels = {"likes": 0, "knows": 1}
+    ent_ids = {e: i for i, e in enumerate(ents)}
+    cfg = blp.ModelConfig(model="blp", rel_model="transe", loss_fn="margin",
+                          dim=8, num_relations=2,
+                          encoder=bert.BertConfig.tiny(num_heads=4))
+    params = blp.init_params(jax.random.key(0), cfg)
+
+    class Tok:
+        def batch_encode(self, texts, max_len):
+            rng = np.random.default_rng(abs(hash(tuple(texts))) % 2**31)
+            tok = rng.integers(1, 100, (len(texts), max_len))
+            return tok, np.ones((len(texts), max_len), np.float32)
+
+    srv = serve.LinkPredictor(params=params, cfg=cfg, tokenizer=Tok(),
+                              max_len=8, tile=16)
+    rng = np.random.default_rng(3)
+    table = rng.standard_normal((20, 8)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+    srv.set_candidates(table, np.arange(20))
+
+    reqs = [
+        {"id": 1, "op": "tails", "rel": "likes", "head": "E3", "k": 4},
+        {"id": 2, "op": "tails", "rel": 1, "head": "E7", "k": 4},
+        {"id": 3, "op": "heads", "rel": "knows", "tail": "E0", "k": 3},
+        {"id": 4, "op": "tails", "rel": "likes", "head_text": "a thing", "k": 4},
+        {"id": 5, "op": "tails", "rel": "nope", "head": "E1"},       # bad rel
+        {"id": 6, "op": "tails", "rel": 0, "head": "Zed"},           # bad ent
+        {"id": 7, "op": "sideways", "rel": 0, "head": "E1"},         # bad op
+        {"id": 8, "rel": 0},                                         # no input
+    ]
+    q: "queue.Queue" = queue.Queue()
+    for r in reqs:
+        q.put(json.dumps(r))
+    q.put("not json at all")
+    q.put(None)
+
+    out = []
+    stats = serve.serve_loop(srv, q, out.append, ent_ids=ent_ids,
+                             rel_ids=rels, max_batch=64, linger_s=0.01)
+    resp = {json.loads(o).get("id"): json.loads(o) for o in out}
+
+    assert stats["served"] == 4 and stats["errors"] == 5
+    # Requests 1+2 share (op, k, kind) -> one batch group; check vs direct.
+    want_s, want_e = srv.predict_tails(head_emb=table[[3, 7]], rels=[0, 1], k=4)
+    for rid, row in ((1, 0), (2, 1)):
+        assert resp[rid]["entities"] == [f"E{int(e)}" for e in want_e[row]]
+        np.testing.assert_allclose(resp[rid]["scores"], want_s[row], atol=1e-4)
+    want_s, want_e = srv.predict_heads(tail_emb=table[[0]], rels=[1], k=3)
+    assert resp[3]["entities"] == [f"E{int(e)}" for e in want_e[0]]
+    assert len(resp[4]["entities"]) == 4 and "error" not in resp[4]
+    for rid in (5, 6, 7, 8, None):
+        assert "error" in resp[rid], rid
+    # Batching actually grouped: 4 served requests in <=3 top-k passes.
+    assert stats["batches"] <= 3
