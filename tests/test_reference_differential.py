@@ -462,6 +462,136 @@ def test_negative_sampler_differential(tmp_path_factory):
     check(our_idx)
 
 
+def _import_ref_split_utils():
+    """Import the reference's data/utils.py (split tooling) by path. rdflib
+    (used only by the DBpedia harvester, which these tests don't touch) is
+    absent offline — stub the module so the import succeeds."""
+    import importlib.util
+    import types
+
+    if "rdflib" not in sys.modules:
+        sys.modules["rdflib"] = types.ModuleType("rdflib")
+    spec = importlib.util.spec_from_file_location(
+        "ref_split_utils", "/root/reference/data/utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _random_triple_file(path, rng, ne=18, nr=4, t=120):
+    rows = [f"e{rng.integers(0, ne)}\tr{rng.integers(0, nr)}\te{rng.integers(0, ne)}"
+            for _ in range(t)]
+    path.write_text("\n".join(rows) + "\n")
+    return path
+
+
+def test_parse_triples_differential(tmp_path):
+    from blp_tpu.data import splits
+
+    ref = _import_ref_split_utils()
+    f = _random_triple_file(tmp_path / "g.tsv", np.random.default_rng(79))
+    want_triples, want_counts = ref.parse_triples(str(f))
+    got_triples, got_counts = splits.parse_triples(str(f))
+    assert [tuple(x) for x in want_triples] == list(got_triples)
+    assert dict(want_counts) == dict(got_counts)
+
+
+def test_read_entity_types_differential(tmp_path):
+    from blp_tpu.data import splits
+
+    ref = _import_ref_split_utils()
+    f = tmp_path / "types.txt"
+    f.write_text("a T1\nb T2\nc T1\nd T3\n")
+    assert ref.read_entity_types(str(f)) == splits.read_entity_types(str(f))
+
+
+def test_get_safely_removed_edges_differential(tmp_path):
+    """Random multigraphs (parallel edges, self-loops), every node, several
+    relation floors: the None/non-None outcome and the removed-edge multiset
+    + per-relation counts must match the genuine reference walk (edge ORDER
+    is iteration-dependent in both — compare as multisets)."""
+    from collections import Counter
+
+    import networkx as nx
+
+    from blp_tpu.data import splits
+
+    ref = _import_ref_split_utils()
+    rng = np.random.default_rng(83)
+    for trial in range(8):
+        triples = [(f"e{rng.integers(0, 12)}", f"e{rng.integers(0, 12)}",
+                    f"r{rng.integers(0, 3)}") for _ in range(60)]
+        # A few self-loops exercise the double-count guard.
+        triples += [(f"e{i}", f"e{i}", "r0") for i in range(2)]
+        g_ref = nx.MultiDiGraph()
+        g_ref.add_weighted_edges_from(triples)
+        counts = Counter(r for _, _, r in triples)
+        g_our = splits.MultiGraph(triples)
+
+        for node in sorted({h for h, _, _ in triples} | {t for _, t, _ in triples}):
+            for floor in (1, 5, 18):
+                want = ref.get_safely_removed_edges(
+                    g_ref, node, Counter(counts), min_edges_left=floor)
+                got = splits.get_safely_removed_edges(
+                    g_our, node, Counter(counts), min_edges_left=floor)
+                if want is None or got is None:
+                    assert want is None and got is None, (trial, node, floor)
+                    continue
+                assert Counter(map(tuple, want[0])) == Counter(got[0]), \
+                    (trial, node, floor)
+                assert dict(want[1]) == dict(got[1])
+
+
+def test_categorize_relations_differential(tmp_path):
+    """Same triples file through both categorizers; the emitted
+    relations-cat.txt must agree as a relation -> category map."""
+    import shutil
+
+    from blp_tpu.data import splits
+
+    ref = _import_ref_split_utils()
+    rng = np.random.default_rng(89)
+    d_ref, d_our = tmp_path / "ref", tmp_path / "ours"
+    d_ref.mkdir(), d_our.mkdir()
+    f = _random_triple_file(d_ref / "g.tsv", rng, ne=25, nr=6, t=300)
+    shutil.copy(f, d_our / "g.tsv")
+
+    ref.categorize_relations(str(d_ref / "g.tsv"))
+    splits.categorize_relations(str(d_our / "g.tsv"))
+
+    def read_cats(p):
+        return dict(line.split("\t") for line in
+                    p.read_text().strip().split("\n"))
+
+    assert read_cats(d_ref / "relations-cat.txt") == \
+        read_cats(d_our / "relations-cat.txt")
+
+
+def test_load_embeddings_differential(tmp_path):
+    """Same GloVe text file through both converters: identical tensors
+    (incl. the appended mean-vector [UNK] row) and identical vocab maps."""
+    from blp_tpu.data import splits
+
+    ref = _import_ref_split_utils()
+    rng = np.random.default_rng(97)
+    words = ["alpha", "beta", "gamma", "delta"]
+    lines = [w + " " + " ".join(f"{v:.6f}" for v in rng.normal(size=5))
+             for w in words]
+    d_ref, d_our = tmp_path / "ref", tmp_path / "ours"
+    d_ref.mkdir(), d_our.mkdir()
+    (d_ref / "emb.txt").write_text("\n".join(lines) + "\n")
+    (d_our / "emb.txt").write_text("\n".join(lines) + "\n")
+
+    ref.load_embeddings(str(d_ref / "emb.txt"))
+    splits.load_embeddings(str(d_our / "emb.txt"))
+
+    want = torch.load(str(d_ref / "emb.pt"))
+    got = torch.load(str(d_our / "emb.pt"))
+    np.testing.assert_allclose(got.numpy(), want.numpy(), rtol=1e-6, atol=1e-7)
+    assert torch.load(str(d_ref / "emb-maps.pt")) == \
+        torch.load(str(d_our / "emb-maps.pt"))
+
+
 def test_split_by_category_differential():
     rng = np.random.default_rng(73)
     B, NR = 17, 5
