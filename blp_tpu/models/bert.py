@@ -98,6 +98,13 @@ class BertConfig:
     # Measured together on v5e (E=4096, L=32, packed): 281 -> 158 ms/call,
     # 14.6k -> 26.0k entities/s (+78%). Set False for the exact-erf path.
     fast_inference: bool = True
+    # Fused block-diagonal attention Pallas kernel on the fast_inference
+    # path (ops/pallas_attention.py). Default OFF: measured 190 vs 158 ms
+    # per 4096-entity encode on v5e — at one 128-token block per row the
+    # XLA einsum chain wins (see the kernel module docstring for the full
+    # negative result). Same formula either way (MXU accumulation order
+    # only); the kernel and its tests pin the masking semantics.
+    fused_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -259,12 +266,17 @@ def poly_gelu(x: Array) -> Array:
     return (xf * phi).astype(x.dtype)
 
 
-def _encoder_layer_fast(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
+def _encoder_layer_fast(cfg: BertConfig, x: Array, mask_arg, lp: dict,
                         dropout_rngs=None, dropout_rate: float = 0.0) -> Array:
     """Inference-optimized post-LN layer (see BertConfig.fast_inference for
     the measured numerics/perf envelope). Math identical to _encoder_layer up
-    to bf16 materialization points; no dropout (deterministic only)."""
+    to bf16 materialization points; no dropout (deterministic only).
+
+    mask_arg: (mask_bias, packed_key_mask, segment_len) — the fused-attention
+    kernel path uses the key mask + segment length; the einsum fallback uses
+    the bias."""
     assert dropout_rngs is None and dropout_rate == 0.0
+    mask_bias, key_mask, seg = mask_arg
     B, S, H = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     dt = cfg.compute_dtype
@@ -280,17 +292,24 @@ def _encoder_layer_fast(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     q = proj(lp["q_w"], lp["q_b"])
     k = proj(lp["k_w"], lp["k_b"])
     v = proj(lp["v_w"], lp["v_b"])
-    logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
-                        preferred_element_type=jnp.float32)
-    # bf16 logits: halves the HBM round-trip of the (B, nh, S, S) buffer.
-    # -10000 padding bias rounds to -9984 — still a hard mask. Softmax
-    # statistics stay f32.
-    logits = (logits / math.sqrt(hd) + mask_bias).astype(jnp.bfloat16)
-    m = jnp.max(logits, axis=-1, keepdims=True).astype(jnp.float32)
-    e = jnp.exp(logits.astype(jnp.float32) - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    ctx = jnp.einsum("bnqk,bnkd->bqnd", probs.astype(dt), v,
-                     preferred_element_type=jnp.float32).reshape(B, S, H)
+    if cfg.fused_attention:
+        from blp_tpu.ops import pallas_attention
+
+        ctx = pallas_attention.block_diag_attention(
+            q, k, v, key_mask, seg=seg,
+            scale=1.0 / math.sqrt(hd)).astype(dt)
+    else:
+        logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                            preferred_element_type=jnp.float32)
+        # bf16 logits: halves the HBM round-trip of the (B, nh, S, S)
+        # buffer. -10000 padding bias rounds to -9984 — still a hard mask.
+        # Softmax statistics stay f32.
+        logits = (logits / math.sqrt(hd) + mask_bias).astype(jnp.bfloat16)
+        m = jnp.max(logits, axis=-1, keepdims=True).astype(jnp.float32)
+        e = jnp.exp(logits.astype(jnp.float32) - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        ctx = jnp.einsum("bnqk,bnkd->bqnd", probs.astype(dt), v,
+                         preferred_element_type=jnp.float32).reshape(B, S, H)
 
     attn_out = _dense(ctx, lp["attn_out_w"], lp["attn_out_b"], dt, dt)
     x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
@@ -404,9 +423,11 @@ def embed_inputs(
     encoder (parallel/pipeline.py): token + position + segment-0 embeddings,
     LayerNorm, optional sequence packing, additive attention bias.
 
-    Returns (x, mask_bias, pack): x is (B/pack, pack*S, H) in the residual
-    dtype; mask_bias is the additive (-10000 on hidden keys) attention bias
-    broadcastable to (B/pack, heads, pack*S, pack*S)."""
+    Returns (x, mask_bias, pack, packed_key_mask): x is (B/pack, pack*S, H)
+    in the residual dtype; mask_bias is the additive (-10000 on hidden keys)
+    attention bias broadcastable to (B/pack, heads, pack*S, pack*S);
+    packed_key_mask is the (B/pack, pack*S) key mask the fused-attention
+    kernel regenerates the bias from (ops/pallas_attention.py)."""
     B, S = input_ids.shape
     emb = params["embeddings"]
 
@@ -429,13 +450,15 @@ def embed_inputs(
         # with a block-diagonal bias so attention stays within each sequence.
         Bp, Sp = B // pack, pack * S
         x = x.reshape(Bp, Sp, x.shape[-1])
+        packed_mask = key_mask.reshape(Bp, Sp)
         same_block = jnp.equal(jnp.arange(Sp)[:, None] // S,
                                jnp.arange(Sp)[None, :] // S)
-        visible = same_block[None] & (key_mask.reshape(Bp, Sp)[:, None, :] > 0)
+        visible = same_block[None] & (packed_mask[:, None, :] > 0)
         mask_bias = jnp.where(visible, 0.0, -10000.0)[:, None, :, :]
     else:
+        packed_mask = key_mask
         mask_bias = (1.0 - key_mask)[:, None, None, :] * -10000.0
-    return x, mask_bias, pack
+    return x, mask_bias, pack, packed_mask
 
 
 def bert_encode(
@@ -454,7 +477,8 @@ def bert_encode(
     ones). Matches HF semantics: additive -10000 bias on padded keys.
     """
     B, S = input_ids.shape
-    x, mask_bias, pack = embed_inputs(params, input_ids, attention_mask, cfg)
+    x, mask_bias, pack, key_mask = embed_inputs(params, input_ids,
+                                                attention_mask, cfg)
 
     dropout_rate = 0.0 if deterministic else cfg.hidden_dropout
     if not deterministic:
@@ -473,8 +497,13 @@ def bert_encode(
 
     # bf16 deterministic encodes route through the inference-optimized layer
     # (BertConfig.fast_inference — measured +78% table-build throughput).
-    layer_fn = (_encoder_layer_fast
-                if _use_fast_inference(cfg, deterministic) else _encoder_layer)
+    # The fast layer gets the key mask + segment length alongside the bias
+    # so the fused-attention kernel can regenerate the mask in-VMEM.
+    if _use_fast_inference(cfg, deterministic):
+        layer_fn = _encoder_layer_fast
+        mask_bias = (mask_bias, key_mask, S)
+    else:
+        layer_fn = _encoder_layer
 
     layers = params["layers"]
     if isinstance(layers, (tuple, list)):

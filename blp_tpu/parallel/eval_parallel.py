@@ -12,6 +12,8 @@ evaluator; no global (B, N) anything, no gather of the table.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -60,10 +62,17 @@ def make_sharded_encode(mesh: Mesh, cfg):
     axes = tuple(mesh.axis_names)
     rows = NamedSharding(mesh, P(axes))
 
+    # shard_map (not bare GSPMD propagation): the encode body has no
+    # cross-device communication — each device runs the full single-device
+    # program on its row slice, so the Pallas kernels inside the
+    # fast_inference path (ops/pallas_attention.py) execute per shard
+    # instead of forcing GSPMD to replicate an unpartitionable custom call.
     @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P(axes), P(axes)), out_specs=P(axes),
+                       check_vma=False)
     def encode(params, tok, mask):
-        out = blp.encode(params, cfg, tok, mask, deterministic=True)
-        return jax.lax.with_sharding_constraint(out, rows)
+        return blp.encode(params, cfg, tok, mask, deterministic=True)
 
     def fn(params, tok, mask):
         tok = jax.device_put(jnp.asarray(tok), rows)

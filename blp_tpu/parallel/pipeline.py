@@ -176,8 +176,8 @@ def make_pipeline_loss(cfg: blp.ModelConfig, *, mesh: Mesh, batch_size: int,
         mask = batch.get("text_mask")
         flat_mask = None if mask is None else mask.reshape(Bl * two, L)
 
-        x, mask_bias, pack = bert_mod.embed_inputs(params["bert"], flat_tok,
-                                                   flat_mask, enc)
+        x, mask_bias, pack, _ = bert_mod.embed_inputs(params["bert"], flat_tok,
+                                                      flat_mask, enc)
         dropout_rate = 0.0
         layer_key = None
         if not deterministic and enc.hidden_dropout > 0.0:
