@@ -60,6 +60,13 @@ def peek_metadata(path: str) -> dict:
         return json.loads(str(data["__metadata__"]))
 
 
+def peek_num_leaves(path: str) -> int:
+    """Number of stored leaves (no data read) — lets a loader distinguish
+    layouts of legacy marker-less files by leaf count."""
+    with np.load(path, allow_pickle=False) as data:
+        return sum(1 for k in data.files if k.startswith("leaf_"))
+
+
 def load_pytree(path: str, template=None):
     """Returns (tree, metadata). With `template`, leaves are unflattened into
     the template's treedef (required for custom nodes like optax states)."""

@@ -112,15 +112,11 @@ def _unstack_for_encode(params: dict) -> dict:
     """Per-layer (unstacked) BERT weight view for the phase-1 encode loop:
     the straight-line layer chain beats the rolled scan forward-only too
     (25.9k vs 23.7k entities/s on v5e with the fast_inference layer — the
-    scan's carried-weight copies cost ~9%). View only — canonical storage
-    stays stacked."""
-    if "bert" not in params:
-        return params
-    from blp_tpu.models import bert as bert_mod
+    scan's carried-weight copies cost ~9%). View only (no-op if already
+    unstacked) — canonical storage stays stacked."""
+    from blp_tpu import training
 
-    out = dict(params)
-    out["bert"] = bert_mod.unstack_layers(params["bert"])
-    return out
+    return training.unstack_params(params)
 
 
 _MESH_RANK_CACHE: dict = {}

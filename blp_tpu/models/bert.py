@@ -203,12 +203,17 @@ def unstack_layers(bert_params: dict) -> dict:
 
 
 def restack_layers(bert_params: dict) -> dict:
-    """Inverse of unstack_layers (no-op if already stacked)."""
+    """Inverse of unstack_layers (no-op if already stacked). Numpy leaves
+    stack on the HOST — an epoch-end checkpoint canonicalization must not
+    allocate a transient stacked copy of params+mu+nu (~1.3 GB at
+    BERT-base) in device HBM just to write a file."""
     layers = bert_params["layers"]
     if not isinstance(layers, (tuple, list)):
         return bert_params
+    stack = np.stack if all(isinstance(lp[k], np.ndarray) for lp in layers
+                            for k in lp) else jnp.stack
     out = dict(bert_params)
-    out["layers"] = {k: jnp.stack([lp[k] for lp in layers])
+    out["layers"] = {k: stack([lp[k] for lp in layers])
                      for k in layers[0]}
     return out
 
@@ -513,7 +518,14 @@ def bert_encode(
         # (12, ...) buffer. Measured on the v5e flagship train step: 44.6 vs
         # 48.7 ms (+9% throughput). The rng schedule matches the stacked
         # path exactly (same split rows per layer).
-        body_fn = layer_fn
+        # cfg / the mask argument / dropout_rate are CLOSED OVER, not passed
+        # through jax.checkpoint — checkpoint traces every argument, and a
+        # traced dropout_rate (or the fast path's (bias, mask, seg) tuple
+        # with its python int) breaks the layers' static `rate == 0.0` /
+        # `Sp % seg` branching with a TracerBoolConversionError.
+        def body_fn(x_, lp_, rngs_):
+            return layer_fn(cfg, x_, mask_bias, lp_, rngs_, dropout_rate)
+
         if cfg.remat:
             # Same policy selection as the stacked scan below — remat="dots"/
             # "names" must not silently degrade to full per-layer recompute
@@ -525,11 +537,10 @@ def bert_encode(
                     "ffn_pre", "ctx", "q", "k", "v")
             else:
                 policy = None
-            body_fn = jax.checkpoint(layer_fn, static_argnums=(0,),
-                                     policy=policy)
+            body_fn = jax.checkpoint(body_fn, policy=policy)
         for i, lp in enumerate(layers):
             rngs = None if layer_rngs is None else layer_rngs[i]
-            x = body_fn(cfg, x, mask_bias, lp, rngs, dropout_rate)
+            x = body_fn(x, lp, rngs)
         return x.reshape(B, S, x.shape[-1]) if pack > 1 else x
 
     def body(carry, scanned):

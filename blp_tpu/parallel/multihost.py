@@ -41,7 +41,7 @@ def initialize(coordinator_address: str | None = None,
     """
     if coordinator_address is None:
         return  # single-host; never touches the backend
-    if getattr(jax.distributed.global_state, "client", None) is not None:
+    if jax.distributed.is_initialized():
         return  # already brought up (e.g. by an outer launcher)
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

@@ -132,9 +132,9 @@ def embed_texts(params, mcfg, tokenizer, texts: list[str], *, max_len: int,
                 batch_size: int, drop_stopwords: bool) -> np.ndarray:
     """Encode a list of texts with the frozen encoder, fixed-shape batches."""
 
-    from blp_tpu.evaluation import _unstack_for_encode
+    from blp_tpu import training
 
-    params_enc = _unstack_for_encode(params)  # +9% fwd-only (view, not copy)
+    params_enc = training.unstack_params(params)  # +9% fwd-only (view, not copy)
 
     def encode_batch(tok, mask):
         # Shared module-level jitted encoder: one compile per (config, shape),

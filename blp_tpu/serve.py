@@ -84,13 +84,13 @@ class LinkPredictor:
 
     def _encode(self, params, tok, mask):
         # Unstacked per-layer view: straight-line layers beat the rolled scan
-        # forward-only (+9% on v5e, see evaluation._unstack_for_encode);
-        # cached so repeated queries reuse the same param identity/jit entry.
+        # forward-only (+9% on v5e, PERFORMANCE.md); cached so repeated
+        # queries reuse the same param identity/jit entry.
         if self._params_enc is None or params is not self._params_enc_src:
-            from blp_tpu import evaluation
+            from blp_tpu import training
 
             self._params_enc_src = params
-            self._params_enc = evaluation._unstack_for_encode(params)
+            self._params_enc = training.unstack_params(params)
         return blp.encode_jit(self._params_enc, self.cfg, tok, mask)
 
     # -- candidate universe ----------------------------------------------------
@@ -208,22 +208,37 @@ def serve_loop(srv: "LinkPredictor", requests, write, *,
         stats["errors"] += 1
         write(_json.dumps({"id": rid, "error": msg}))
 
+    num_rels = int(srv.params["rel_emb"].shape[0])
+
     def resolve_rel(r):
         if isinstance(r, str):
             if rel_ids is None or r not in rel_ids:
                 raise KeyError(f"unknown relation {r!r}")
             return rel_ids[r]
-        return int(r)
+        r = int(r)
+        # Range-check: jnp gather CLAMPS out-of-range ids, which would
+        # silently score against the last relation instead of erroring.
+        if not 0 <= r < num_rels:
+            raise KeyError(f"relation id {r} out of range [0, {num_rels})")
+        return r
 
     def run_group(group):
-        # group: list of (rid, op, k, fixed_kind, fixed_value, rel_id)
+        # group: list of (rid, op, k, fixed_kind, fixed_value, rel_id).
+        # Pad to a power-of-two bucket by repeating the last request: every
+        # distinct batch shape costs a jit retrace + TPU compile (tens of
+        # seconds over the tunnel), so organic 1..max_batch group sizes must
+        # collapse onto log2(max_batch) executables.
         _, op, k, kind, _, _ = group[0]
-        rels = [g[5] for g in group]
+        bucket = 1
+        while bucket < len(group):
+            bucket *= 2
+        pad = bucket - len(group)
+        rels = [g[5] for g in group] + [group[-1][5]] * pad
+        vals = [g[4] for g in group] + [group[-1][4]] * pad
         if kind == "text":
-            fixed = srv.embed_texts([g[4] for g in group])
+            fixed = srv.embed_texts(vals)
         else:
-            rows = np.asarray([g[4] for g in group])
-            fixed = srv._table[jnp.asarray(rows)]
+            fixed = srv._table[jnp.asarray(np.asarray(vals))]
         fn = srv.predict_tails if op == "tails" else srv.predict_heads
         scores, ents = fn(rels=rels, **{("head_emb" if op == "tails" else
                                         "tail_emb"): fixed}, k=k)

@@ -235,6 +235,9 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
             raise ValueError("num_pipe_shards and num_model_shards are "
                              "mutually exclusive meshes (data x pipe vs "
                              "data x model)")
+        if cfg.model != "blp":
+            raise ValueError("pipeline parallelism slices the BERT layer "
+                             f"stack (model='blp'); got model={cfg.model!r}")
         from blp_tpu.parallel import pipeline as pipe_lib, train_parallel
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -282,8 +285,13 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
 
     def run_eval(triples, entities, *, prefix, epoch, filtered=False,
                  new_entities=None, max_num_batches=None, return_embeddings=False):
+        # Live layout straight through: the evaluator's encode path takes the
+        # unstacked view itself (no-op if already unstacked) and every other
+        # consumer (rel_emb, proj, ent_emb) is layout-independent — a
+        # restack here would be a full on-device param copy per eval that
+        # the encode immediately un-does.
         res = evaluation.eval_link_prediction(
-            training.restack_params(params), mcfg, triples, train_data, entities,
+            params, mcfg, triples, train_data, entities,
             batch_size=cfg.eval_batch_size, emb_batch_size=cfg.emb_batch_size,
             tile=cfg.tile, filter_index=filter_index if filtered else None,
             new_entities=new_entities,
@@ -321,7 +329,16 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
         # were written in the live layout — load them directly.
         live_unstacked = isinstance(
             params.get("bert", {}).get("layers"), (tuple, list))
-        if live_unstacked and ckpt.peek_metadata(resume_path).get("layout") == "stacked":
+        file_stacked = False
+        if live_unstacked:
+            file_stacked = ckpt.peek_metadata(resume_path).get("layout") == "stacked"
+            if not file_stacked:
+                # Legacy marker-less file: decide by leaf count — pre-round-4
+                # DP-mesh runs wrote STACKED states while single-device runs
+                # wrote unstacked ones, so the marker alone can't tell.
+                n_unstacked = len(jax.tree.leaves((params, opt_state)))
+                file_stacked = ckpt.peek_num_leaves(resume_path) != n_unstacked
+        if file_stacked:
             stacked_p = training.restack_params(params)
             # eval_shape: the treedefs/shapes of the stacked state without
             # allocating a second 880MB mu/nu on device. Load raw through the
@@ -438,8 +455,12 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
                 best_mrr = res.mrr
                 best_ckpt = ckpt_file
                 # The model checkpoint is the user-facing artifact: always
-                # the canonical stacked layout (serve/checkpoint= loads).
-                _save_state(ckpt_file, training.restack_params(params),
+                # the canonical stacked layout (serve/checkpoint= loads);
+                # restacked on the host single-process (see the state save).
+                best_tree = (training.restack_params(jax.device_get(params))
+                             if jax.process_count() == 1
+                             else training.restack_params(params))
+                _save_state(ckpt_file, best_tree,
                             {"epoch": epoch, "mrr": res.mrr, "run_id": run_id})
                 log.info(f"New best valid MRR {best_mrr:.4f}; saved {ckpt_file}")
 
@@ -448,8 +469,18 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
         # a file written by an unstacked single-device run must resume under
         # a mesh run and vice versa — load_pytree unflattens by leaf order,
         # so a layout fork in the file would be an opaque unflatten error.
-        _save_state(state_file, (training.restack_params(params),
-                                 training.restack_opt_state(opt_state)),
+        # Single-process: pull to host FIRST and restack there (numpy), so
+        # the canonicalization never allocates a transient ~1.3 GB stacked
+        # params+mu+nu copy in HBM (multi-process keeps the device tree —
+        # _save_state's allgather must see the live sharded arrays).
+        if jax.process_count() == 1:
+            host_p, host_o = jax.device_get((params, opt_state))
+            state_tree = (training.restack_params(host_p),
+                          training.restack_opt_state(host_o))
+        else:
+            state_tree = (training.restack_params(params),
+                          training.restack_opt_state(opt_state))
+        _save_state(state_file, state_tree,
                     {"epoch": epoch, "best_mrr": best_mrr,
                      "best_ckpt": best_ckpt if osp.exists(best_ckpt) else "",
                      "run_id": run_id, "seed": cfg.seed, "layout": "stacked"})

@@ -274,3 +274,26 @@ def test_fast_inference_unstacked_matches_scan():
     a = np.asarray(bert.bert_encode(params, ids, None, cfg), np.float32)
     b = np.asarray(bert.bert_encode(pu, ids, None, cfg), np.float32)
     np.testing.assert_allclose(a, b, atol=3e-2, rtol=2e-2)
+
+
+def test_remat_works_on_unstacked_layers():
+    """remat + the unstacked per-layer loop: jax.checkpoint must not trace
+    the static layer arguments (dropout_rate / the fast path's (bias, mask,
+    seg) tuple) — doing so raised TracerBoolConversionError on every
+    remat=True eval/table-build after round 4 routed those through the
+    unstacked view."""
+    import dataclasses
+
+    for remat in (True, "dots", "names"):
+        cfg = bert.BertConfig.tiny(num_heads=4, num_layers=2,
+                                   compute_dtype=jnp.bfloat16, remat=remat)
+        params = bert.unstack_layers(bert.init_bert_params(jax.random.key(0), cfg))
+        ids = jnp.ones((4, 16), jnp.int32)
+        # fast_inference path (deterministic bf16)
+        out = jax.jit(lambda p: bert.bert_encode(p, ids, None, cfg))(params)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        # training path (grads through the rematerialized unstacked loop)
+        g = jax.grad(lambda p: jnp.sum(bert.bert_encode(
+            p, ids, None, cfg, deterministic=False,
+            dropout_rng=jax.random.key(1)).astype(jnp.float32)))(params)
+        assert np.isfinite(np.asarray(jax.tree.leaves(g)[0], np.float32)).all()

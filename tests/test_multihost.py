@@ -45,3 +45,27 @@ def test_global_batch_assembly_single_process():
     np.testing.assert_array_equal(np.asarray(arrs["x"]), local["x"])
     # sharded over 'data'
     assert len(arrs["x"].sharding.device_set) == 8
+
+
+def test_initialize_guards(monkeypatch):
+    """initialize(): single-host early-out never touches the backend; an
+    already-initialized client short-circuits via is_initialized() (the only
+    state probe jax 0.9 exposes — jax.distributed has no global_state
+    attribute, the round-4 advisor-fix regression)."""
+    from blp_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    # single-host: no-op regardless of the client state
+    multihost.initialize(None)
+    assert calls == []
+    # already up: short-circuit
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    multihost.initialize("host:1234", 2, 0)
+    assert calls == []
+    # not up: passes the config through
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    multihost.initialize("host:1234", 2, 0)
+    assert calls == [dict(coordinator_address="host:1234",
+                          num_processes=2, process_id=0)]

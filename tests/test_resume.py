@@ -77,6 +77,29 @@ def test_resume_blp_stacked_state_into_unstacked_run(workdir):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
+def test_resume_legacy_markerless_stacked_state(workdir):
+    """Pre-round-4 DP-mesh runs wrote STACKED state files WITHOUT a layout
+    marker; the resume path must detect the layout by leaf count instead of
+    assuming marker-less == live layout (review r04 finding #3)."""
+    from blp_tpu.checkpoint import load_pytree, save_pytree
+
+    kw = dict(model="blp", rel_model="transe", encoder_name="tiny",
+              batch_size=8, num_negatives=4)
+    link_prediction(_cfg(workdir, run_id="lgc-half", max_epochs=2,
+                         stop_after_epochs=1, **kw))
+    state = str(workdir / "output" / "train_state-lgc-half.npz")
+    # Strip the layout marker, simulating a legacy stacked file.
+    tree, meta = load_pytree(state)
+    meta.pop("layout")
+    legacy = str(workdir / "output" / "train_state-legacy.npz")
+    save_pytree(legacy, tree, meta)
+
+    r_full = link_prediction(_cfg(workdir, run_id="lgc-full", max_epochs=2, **kw))
+    r_res = link_prediction(_cfg(workdir, run_id="lgc-res", max_epochs=2,
+                                 resume=legacy, **kw))
+    assert np.isclose(r_res["test_mrr"], r_full["test_mrr"], atol=1e-6)
+
+
 def test_auto_resume_same_run_id(workdir):
     """resume='auto' + fixed run_id: a relaunched (preempted) job picks up
     its own train_state file and finishes identically to a straight run."""

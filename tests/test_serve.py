@@ -202,6 +202,7 @@ def test_serve_loop_daemon_batching_and_errors():
         {"id": 6, "op": "tails", "rel": 0, "head": "Zed"},           # bad ent
         {"id": 7, "op": "sideways", "rel": 0, "head": "E1"},         # bad op
         {"id": 8, "rel": 0},                                         # no input
+        {"id": 9, "op": "tails", "rel": 999, "head": "E1"},          # rel OOR
     ]
     q: "queue.Queue" = queue.Queue()
     for r in reqs:
@@ -214,7 +215,7 @@ def test_serve_loop_daemon_batching_and_errors():
                              rel_ids=rels, max_batch=64, linger_s=0.01)
     resp = {json.loads(o).get("id"): json.loads(o) for o in out}
 
-    assert stats["served"] == 4 and stats["errors"] == 5
+    assert stats["served"] == 4 and stats["errors"] == 6
     # Requests 1+2 share (op, k, kind) -> one batch group; check vs direct.
     want_s, want_e = srv.predict_tails(head_emb=table[[3, 7]], rels=[0, 1], k=4)
     for rid, row in ((1, 0), (2, 1)):
@@ -223,7 +224,10 @@ def test_serve_loop_daemon_batching_and_errors():
     want_s, want_e = srv.predict_heads(tail_emb=table[[0]], rels=[1], k=3)
     assert resp[3]["entities"] == [f"E{int(e)}" for e in want_e[0]]
     assert len(resp[4]["entities"]) == 4 and "error" not in resp[4]
-    for rid in (5, 6, 7, 8, None):
+    for rid in (5, 6, 7, 8, 9, None):
         assert "error" in resp[rid], rid
+    # Out-of-range int relation must ERROR, not be gather-clamped to the
+    # last relation row.
+    assert "out of range" in resp[9]["error"]
     # Batching actually grouped: 4 served requests in <=3 top-k passes.
     assert stats["batches"] <= 3

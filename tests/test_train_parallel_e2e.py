@@ -138,3 +138,9 @@ def test_multihost_data_path_matches_plain(workdir):
 def test_multihost_data_requires_mesh(workdir):
     with pytest.raises(ValueError, match="multi-host runs need a mesh"):
         link_prediction(_cfg(workdir, run_id="mh-nomesh", multihost_data=True))
+
+
+def test_pipe_requires_blp_model(workdir):
+    with pytest.raises(ValueError, match="model='blp'"):
+        link_prediction(_cfg(workdir, run_id="pp-bow", model="bert-bow",
+                             num_pipe_shards=2))
