@@ -429,7 +429,19 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
             # once at epoch end.
             step_losses.append(loss)
             if step_i % log_every == 0:
-                loss_val = float(loss)
+                # Log a one-interval-LAGGED loss instead of float(loss) on
+                # the step just enqueued: a blocking read of the newest
+                # value drains the whole dispatch queue — on the relayed
+                # chip the 5%-interval syncs cost ~23% of the epoch (2,537
+                # vs 3,279 t/s measured). The lagged value was dispatched a
+                # full interval ago, so it is already materialized and the
+                # read costs one round trip, not a pipeline drain. (The
+                # reference's 5%-interval logging, train.py:354-357, doesn't
+                # say WHICH step's loss — any in the window qualifies;
+                # probing Array.is_ready() instead measured as slow as the
+                # blocking read on this relay.)
+                past = step_losses[max(0, len(step_losses) - 1 - log_every)]
+                loss_val = float(past)
                 log.info(f"Epoch {epoch}/{cfg.max_epochs} "
                          f"[{step_i}/{steps_per_epoch}]: {loss_val:.6f}")
                 metrics_log.log(global_step, batch_loss=loss_val)
