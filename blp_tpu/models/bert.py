@@ -82,6 +82,21 @@ class BertConfig:
     # graph task matches within noise (PERFORMANCE.md). False restores the
     # round-3 f32-materialization layer exactly.
     mixed_precision_train: bool = True
+    # Training fast-numerics mode (compute_dtype != float32 only; fp32
+    # parity mode ignores it). Applies the training-legal piece of the
+    # fast_inference recipe to the TRAINING pass, forward AND backward:
+    # erf-GeLU via the same degree-6 minimax polynomial (abs err <= 4.2e-4,
+    # ~5x below a bf16 half-ulp — see poly_gelu). Measured envelope on v5e
+    # (PERFORMANCE.md round-5 section): WINS with remat — at the Wikidata5M
+    # operating point (B=1024, L=64, remat=True) 1155.7 -> 1106.3 ms/step
+    # (+4.5%: the rematerialized backward re-runs the forward, so the cheap
+    # polynomial pays twice) — but LOSES without remat (flagship B=128,
+    # L=32: 41.4 -> 42.9 ms: erf's exp-based DERIVATIVE is cheaper than the
+    # polynomial's in the stash-based backward). Use it for remat'd
+    # large-batch configs only. Quality A/B on the on-chip 20k typed-graph
+    # task matches the exact-erf run within noise (same section).
+    # Default OFF: reference numerics unless explicitly opted in.
+    fast_train: bool = False
     # Inference fast path (deterministic=True AND compute_dtype != float32
     # only — the fp32 parity mode always runs the exact erf layer). Restores
     # nothing the training pass needs and changes activations by LESS than
@@ -409,7 +424,12 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     # remat=False/True: the erf recompute costs more than the stash traffic.
     ffn = checkpoint_name(_dense(x, lp["ffn_in_w"], lp["ffn_in_b"], dt, dt),
                           "ffn_pre")
-    ffn = jax.nn.gelu(ffn, approximate=False)
+    # fast_train: the beyond-bf16-accurate polynomial GeLU in fwd AND bwd
+    # (see BertConfig.fast_train). fp32 parity mode always takes exact erf.
+    if cfg.fast_train and dt != jnp.float32:
+        ffn = poly_gelu(ffn)
+    else:
+        ffn = jax.nn.gelu(ffn, approximate=False)
     ffn = _dense(ffn, lp["ffn_out_w"], lp["ffn_out_b"], dt, od)
     if dropout_rngs is not None and dropout_rate > 0.0:
         ffn = _rng_dropout(ffn, dropout_rngs[2], dropout_rate)

@@ -297,3 +297,52 @@ def test_remat_works_on_unstacked_layers():
             p, ids, None, cfg, deterministic=False,
             dropout_rng=jax.random.key(1)).astype(jnp.float32)))(params)
         assert np.isfinite(np.asarray(jax.tree.leaves(g)[0], np.float32)).all()
+
+
+def test_fast_train_numerics_close_and_fp32_ignored():
+    """BertConfig.fast_train swaps the TRAINING GeLU (fwd+bwd) for the
+    minimax polynomial on bf16 paths only: outputs/grads must stay within
+    the bf16 noise class of the exact-erf run, and fp32 parity mode must
+    ignore the flag bitwise."""
+    import dataclasses
+
+    cfg16 = bert.BertConfig.tiny(num_heads=4, compute_dtype=jnp.bfloat16)
+    params = bert.init_bert_params(jax.random.key(0), cfg16)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, cfg16.vocab_size, (4, 8)))
+
+    def run(cfg, det=True):
+        kw = {} if det else {"deterministic": False,
+                             "dropout_rng": jax.random.key(5)}
+        # fast_inference off so the training layer is exercised even in the
+        # deterministic comparison.
+        cfg = dataclasses.replace(cfg, fast_inference=False)
+        return bert.bert_encode(params, ids, None, cfg, **kw)
+
+    exact = np.asarray(run(cfg16), np.float32)
+    fast = np.asarray(run(dataclasses.replace(cfg16, fast_train=True)),
+                      np.float32)
+    # Same class as bf16 round-off (poly abs err 4.2e-4 << bf16 half-ulp).
+    scale = max(np.abs(exact).max(), 1.0)
+    assert np.abs(fast - exact).max() <= 0.05 * scale
+    assert not np.array_equal(fast, exact)  # the poly path actually ran
+
+    # Gradients flow and stay finite through the polynomial backward.
+    def loss(p):
+        cfg = dataclasses.replace(cfg16, fast_train=True)
+        out = bert.bert_encode(p, ids, None, cfg, deterministic=False,
+                               dropout_rng=jax.random.key(5))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.tree.leaves(jax.grad(loss)(params))
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+    assert max(float(jnp.abs(x).max()) for x in g) > 0
+
+    # fp32 parity mode: fast_train must be a bitwise no-op.
+    cfg32 = bert.BertConfig.tiny(num_heads=4)
+    a = bert.bert_encode(params, ids, None,
+                         dataclasses.replace(cfg32, fast_train=True),
+                         deterministic=False, dropout_rng=jax.random.key(3))
+    b = bert.bert_encode(params, ids, None, cfg32,
+                         deterministic=False, dropout_rng=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -27,6 +27,10 @@ p.add_argument("--entities", type=int, default=20_000)
 p.add_argument("--types", type=int, default=2_000)
 p.add_argument("--triples", type=int, default=60_000)
 p.add_argument("--batch", type=int, default=128)
+p.add_argument("--fast-train", action="store_true",
+               help="poly-GeLU training numerics (BertConfig.fast_train) — "
+                    "used for the quality A/B against the exact-erf run")
+p.add_argument("--run-id", default=None)
 args = p.parse_args()
 
 d = os.path.join(args.out, "data", "typed20k")
@@ -46,7 +50,9 @@ cfg = ExperimentConfig(
     num_negatives=64, lr=1e-4, use_scheduler=True, batch_size=args.batch,
     emb_batch_size=2048, eval_batch_size=64, max_epochs=args.epochs,
     eval_every=max(args.epochs // 2, 1), tile=20_480, bf16=True,
-    run_id="blp20k", resume="auto", seed=0)
+    fast_train=args.fast_train,
+    run_id=args.run_id or ("blp20k-fast" if args.fast_train else "blp20k"),
+    resume="auto", seed=0)
 t0 = time.time()
 r = link_prediction(cfg)
 r["wall_s"] = round(time.time() - t0, 1)
