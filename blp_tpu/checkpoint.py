@@ -67,6 +67,28 @@ def peek_num_leaves(path: str) -> int:
         return sum(1 for k in data.files if k.startswith("leaf_"))
 
 
+def peek_leaf_shapes(path: str) -> list[tuple]:
+    """Shapes of the stored leaves in load order, read from the .npy headers
+    only (no array data) — a state file can be GBs; a layout probe must not
+    load it twice. Disambiguates stacked/unstacked legacy files whose leaf
+    COUNTS coincide (num_layers == 1: a stacked layer leaf is (1, ...) where
+    the unstacked one is (...))."""
+    import zipfile
+
+    from numpy.lib import format as npf
+
+    shapes = []
+    with zipfile.ZipFile(path) as zf:
+        for name in sorted(zf.namelist()):
+            if not name.startswith("leaf_"):
+                continue
+            with zf.open(name) as f:
+                version = npf.read_magic(f)
+                shape, _, _ = npf._read_array_header(f, version)
+            shapes.append(tuple(shape))
+    return shapes
+
+
 def load_pytree(path: str, template=None):
     """Returns (tree, metadata). With `template`, leaves are unflattened into
     the template's treedef (required for custom nodes like optax states)."""

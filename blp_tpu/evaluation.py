@@ -50,6 +50,16 @@ class EvalResult:
         if self.mrr_by_position is not None:
             for i, name in enumerate(("both_new", "head_new", "tail_new")):
                 out[f"{prefix}_mrr_filt_{name}"] = float(self.mrr_by_position[i])
+        if self.mrr_by_category is not None:
+            # Per-relation-category breakdown, pred_head/pred_tail x the 4
+            # cardinality categories (reference prints these after filtered
+            # eval, train.py:228-236; key form mirrors its log labels).
+            from blp_tpu.data.datasets import CATEGORY_IDS
+
+            for case_i, case in enumerate(("pred_head", "pred_tail")):
+                for cat, cat_id in CATEGORY_IDS.items():
+                    out[f"{prefix}_{case}_{cat}_mrr"] = float(
+                        self.mrr_by_category[case_i, cat_id])
         return out
 
 
@@ -85,21 +95,38 @@ def build_entity_table(
     # (ADVICE r03: max(256, ...) silently inflated emb_batch_size=16 16x).
     emb_batch_size = min(_round_up(emb_batch_size, chunk_multiple),
                          _round_up(max(n, 1), chunk_multiple))
-    # Chunks stay on device (async dispatch pipelines host tokenized-batch
-    # prep with encoder compute; a per-chunk host transfer would serialize
-    # every chunk on the device->host round trip).
+    # Chunks stay on device (async dispatch pipelines encoder compute), and
+    # the HOST side — description gathers + the host->device transfer — runs
+    # double-buffered on a prefetch thread (data/prefetch.py). Async dispatch
+    # alone overlaps device compute but leaves each chunk's numpy gather and
+    # transfer on the dispatch critical path: at W5M scale that gap was ~13%
+    # of end-to-end phase 1 (22.4k vs 25.9k on-device entities/s,
+    # PERFORMANCE.md); prefetching closes it.
+    from blp_tpu.data import prefetch
+
+    def host_chunks():
+        for start in range(0, n, emb_batch_size):
+            ids = entities[start : start + emb_batch_size]
+            tok, mask = text_data.get_entity_descriptions(ids)
+            if len(ids) < emb_batch_size:
+                pad = emb_batch_size - len(ids)
+                tok = np.pad(tok, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+                mask[len(ids):, 0] = 1.0  # avoid 0/0 in mean-pool encoders
+            yield tok, mask, len(ids)
+
+    def place(item):
+        tok, mask, real = item
+        return jnp.asarray(tok), jnp.asarray(mask), real
+
     chunks = []
-    for start in range(0, n, emb_batch_size):
-        ids = entities[start : start + emb_batch_size]
-        tok, mask = text_data.get_entity_descriptions(ids)
-        if len(ids) < emb_batch_size:
-            pad = emb_batch_size - len(ids)
-            tok = np.pad(tok, ((0, pad), (0, 0)))
-            mask = np.pad(mask, ((0, pad), (0, 0)))
-            mask[len(ids):, 0] = 1.0  # avoid 0/0 in mean-pool encoders
-        chunks.append(encode_batch(jnp.asarray(tok), jnp.asarray(mask))[: len(ids)])
-        if log and (start // emb_batch_size) % 20 == 0:
-            log.info(f"[encode {start + len(ids):,}/{n:,}]")
+    done = 0
+    for ci, (tok, mask, real) in enumerate(prefetch.prefetch_to_device(
+            host_chunks(), placement=place)):
+        chunks.append(encode_batch(tok, mask)[:real])
+        done += real
+        if log and ci % 20 == 0:
+            log.info(f"[encode {done:,}/{n:,}]")
     if not chunks:
         return jnp.zeros((n_pad, dim), jnp.float32)
     table = jnp.concatenate(chunks, axis=0)

@@ -139,11 +139,22 @@ class ObserverSet:
                         f"failures from it will be dropped silently")
 
     def log_config(self, config: dict):
-        for o in self.observers:
+        # Same contract as log(): the primary JSONL sink must not fail
+        # silently — a run whose output dir is unwritable should die at
+        # config time, not log nothing and say nothing.
+        for i, o in enumerate(self.observers):
             try:
                 o.log_config(config)
-            except Exception:
-                pass
+            except Exception as e:
+                if i == 0:
+                    raise
+                name = type(o).__name__
+                if name not in self._warned:
+                    self._warned.add(name)
+                    import logging
+
+                    logging.getLogger("blp_tpu").warning(
+                        f"metrics sink {name} failed on log_config ({e!r})")
 
     def close(self):
         for o in self.observers:

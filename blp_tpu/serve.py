@@ -85,13 +85,23 @@ class LinkPredictor:
     def _encode(self, params, tok, mask):
         # Unstacked per-layer view: straight-line layers beat the rolled scan
         # forward-only (+9% on v5e, PERFORMANCE.md); cached so repeated
-        # queries reuse the same param identity/jit entry.
+        # queries reuse the same param identity/jit entry. The cache is keyed
+        # on the params dict's OBJECT IDENTITY: to hot-swap weights, replace
+        # srv.params wholesale (srv.params = new_tree) — mutating leaves of
+        # the existing dict in place would silently serve the stale view.
+        # After any in-place mutation, call invalidate_encode_cache().
         if self._params_enc is None or params is not self._params_enc_src:
             from blp_tpu import training
 
             self._params_enc_src = params
             self._params_enc = training.unstack_params(params)
         return blp.encode_jit(self._params_enc, self.cfg, tok, mask)
+
+    def invalidate_encode_cache(self) -> None:
+        """Drop the cached unstacked-weight view. Needed only after mutating
+        `self.params` leaves IN PLACE (weight hot-swap into the same dict);
+        replacing the dict wholesale invalidates automatically."""
+        self._params_enc = self._params_enc_src = None
 
     # -- candidate universe ----------------------------------------------------
 
@@ -107,6 +117,15 @@ class LinkPredictor:
         self._num_valid = n
         self._candidate_ids = (np.asarray(ids) if ids is not None
                                else np.arange(n))
+
+    def set_candidates_from_export(self, out_dir: str, run_id: str) -> None:
+        """Install candidates from a training run's embedding export — either
+        this framework's ent_emb-{id}.npz or the reference's
+        ent_emb-{id}.pt + ents-{id}.pt torch pair (train.py:403-405)."""
+        from blp_tpu.utils import load_embedding_export
+
+        table, ids = load_embedding_export(out_dir, run_id)
+        self.set_candidates(table, ids)
 
     def set_candidates_from_texts(self, ids, texts: list[str],
                                   batch_size: int = 512) -> None:

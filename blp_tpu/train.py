@@ -70,7 +70,7 @@ def make_model_config(cfg: ExperimentConfig, tokenizer, num_relations: int,
             encoder = bert.BertConfig(
                 vocab_size=vocab_size,
                 compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
-                remat=cfg.remat)
+                remat=cfg.remat, fast_train=cfg.fast_train)
     elif cfg.model.startswith("bert"):
         vocab_size = len(tokenizer.vocab)
         emb_dim = 768 if cfg.encoder_name != "tiny" else 32
@@ -336,8 +336,17 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
                 # Legacy marker-less file: decide by leaf count — pre-round-4
                 # DP-mesh runs wrote STACKED states while single-device runs
                 # wrote unstacked ones, so the marker alone can't tell.
-                n_unstacked = len(jax.tree.leaves((params, opt_state)))
-                file_stacked = ckpt.peek_num_leaves(resume_path) != n_unstacked
+                live_leaves = jax.tree.leaves((params, opt_state))
+                if ckpt.peek_num_leaves(resume_path) != len(live_leaves):
+                    file_stacked = True
+                else:
+                    # Counts can coincide (num_layers == 1 stacks to the same
+                    # leaf count); compare leaf SHAPES — stacked layer leaves
+                    # carry a leading (num_layers,) axis the unstacked live
+                    # tree lacks. Header-only read (no data).
+                    live_shapes = [tuple(l.shape) for l in live_leaves]
+                    file_stacked = (
+                        ckpt.peek_leaf_shapes(resume_path) != live_shapes)
         if file_stacked:
             stacked_p = training.restack_params(params)
             # eval_shape: the treedefs/shapes of the stacked state without
@@ -428,7 +437,7 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
             # only at log points; the epoch mean reads the stacked scalars
             # once at epoch end.
             step_losses.append(loss)
-            if step_i % log_every == 0:
+            if step_i % log_every == 0 and step_i >= log_every:
                 # Log a one-interval-LAGGED loss instead of float(loss) on
                 # the step just enqueued: a blocking read of the newest
                 # value drains the whole dispatch queue — on the relayed
@@ -439,12 +448,14 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
                 # reference's 5%-interval logging, train.py:354-357, doesn't
                 # say WHICH step's loss — any in the window qualifies;
                 # probing Array.is_ready() instead measured as slow as the
-                # blocking read on this relay.)
-                past = step_losses[max(0, len(step_losses) - 1 - log_every)]
-                loss_val = float(past)
+                # blocking read on this relay.) The value is recorded under
+                # the global step it was COMPUTED at, and step 0 is skipped
+                # (its loss was just enqueued — reading it would force the
+                # very sync this avoids).
+                loss_val = float(step_losses[step_i - log_every])
                 log.info(f"Epoch {epoch}/{cfg.max_epochs} "
                          f"[{step_i}/{steps_per_epoch}]: {loss_val:.6f}")
-                metrics_log.log(global_step, batch_loss=loss_val)
+                metrics_log.log(global_step - log_every, batch_loss=loss_val)
         epoch_loss = (float(np.mean(jax.device_get(jnp.stack(step_losses))))
                       if step_losses else 0.0)
         dt = time.time() - t0
@@ -529,8 +540,10 @@ def node_classification(cfg: ExperimentConfig) -> dict:
     from sklearn.linear_model import LogisticRegression
     from sklearn.metrics import accuracy_score, balanced_accuracy_score
 
-    data = np.load(osp.join(cfg.out_dir, f"ent_emb-{cfg.checkpoint}.npz"))
-    ent_emb, emb_ids = data["ent_emb"], data["entities"]
+    # Accepts this framework's .npz export AND the reference's
+    # ent_emb-{id}.pt/ents-{id}.pt torch pair (reference train.py:403-421).
+    from blp_tpu.utils import load_embedding_export
+    ent_emb, emb_ids = load_embedding_export(cfg.out_dir, cfg.checkpoint)
     log.info(f"Loaded {len(ent_emb)} embeddings dim={ent_emb.shape[1]}")
 
     from blp_tpu.data.datasets import load_maps

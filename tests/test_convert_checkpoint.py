@@ -221,3 +221,55 @@ def test_convert_bow_and_transductive():
 
     with pytest.raises(ValueError):
         convert_state_dict(sd, "nope")
+
+
+def test_load_embedding_export_torch_pair(tmp_path):
+    """A REFERENCE run's embedding export (ent_emb-{id}.pt + ents-{id}.pt,
+    reference train.py:403-405) must feed node_classification / serving via
+    load_embedding_export — including the squeeze + tuple-unwrap its own
+    loader applies (train.py:410-419)."""
+    from blp_tpu.utils import load_embedding_export
+
+    emb = torch.randn(7, 1, 16)          # extra dim: exercised by .squeeze()
+    ents = torch.arange(3, 10, dtype=torch.long)
+    torch.save((emb, None), tmp_path / "ent_emb-ref42.pt")  # tuple-wrapped
+    torch.save(ents, tmp_path / "ents-ref42.pt")
+
+    got_emb, got_ids = load_embedding_export(str(tmp_path), "ref42")
+    assert got_emb.shape == (7, 16) and got_emb.dtype == np.float32
+    np.testing.assert_allclose(got_emb, emb.squeeze().numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(got_ids, np.arange(3, 10))
+
+    # .npz takes precedence when both exist (this framework's own export).
+    np.savez(tmp_path / "ent_emb-ref42.npz",
+             ent_emb=np.ones((4, 16), np.float32), entities=np.arange(4))
+    got_emb, got_ids = load_embedding_export(str(tmp_path), "ref42")
+    assert got_emb.shape == (4, 16)
+
+    with pytest.raises(FileNotFoundError):
+        load_embedding_export(str(tmp_path), "missing-run")
+    # A lone ent_emb .pt without its ents pair is an error, not a guess.
+    torch.save(emb, tmp_path / "ent_emb-lonely.pt")
+    with pytest.raises(FileNotFoundError):
+        load_embedding_export(str(tmp_path), "lonely")
+
+
+def test_serve_set_candidates_from_export(tmp_path):
+    """serve.LinkPredictor accepts a reference torch export directly."""
+    from blp_tpu import serve
+
+    emb = torch.randn(9, 8)
+    ents = torch.arange(9, dtype=torch.long) * 2
+    torch.save(emb, tmp_path / "ent_emb-s1.pt")
+    torch.save(ents, tmp_path / "ents-s1.pt")
+
+    cfg = blp.ModelConfig(model="transductive", rel_model="transe", dim=8,
+                          num_relations=2, num_entities=9)
+    params = blp.init_params(jax.random.key(0), cfg)
+    srv = serve.LinkPredictor(params=params, cfg=cfg, tile=16)
+    srv.set_candidates_from_export(str(tmp_path), "s1")
+    assert srv._num_valid == 9
+    scores, pred = srv.predict_tails(head_emb=emb.numpy()[:2],
+                                     rels=[0, 1], k=3)
+    assert pred.shape == (2, 3)
+    assert set(pred.ravel()) <= set((np.arange(9) * 2).tolist())

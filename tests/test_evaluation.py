@@ -130,6 +130,18 @@ def test_new_entity_breakdown(setup):
     assert res.mrr_by_category is not None and res.mrr_by_category.shape == (2, 4)
     assert np.isfinite(res.mrr_by_position).all()
 
+    # The per-category breakdown must surface as scalars (the reference
+    # prints pred_head/pred_tail x 4 categories after filtered eval,
+    # train.py:228-236) so the driver logs them to the metrics stream.
+    scalars = res.scalars("test")
+    from blp_tpu.data.datasets import CATEGORY_IDS
+    for case_i, case in enumerate(("pred_head", "pred_tail")):
+        for cat, cat_id in CATEGORY_IDS.items():
+            key = f"test_{case}_{cat}_mrr"
+            assert key in scalars
+            assert scalars[key] == pytest.approx(
+                float(res.mrr_by_category[case_i, cat_id]))
+
     # Every dev triple touches at least one new entity, so the three position
     # buckets must cover all triples with nonzero MRR somewhere.
     assert res.mrr_by_position.max() > 0

@@ -71,3 +71,22 @@ def test_optional_sink_failure_is_nonfatal(tmp_path):
     obs.log_config({})
     obs.close()
     assert json.loads(open(tmp_path / "m.jsonl").readline())["loss"] == 2.0
+
+
+def test_primary_sink_failure_raises(tmp_path):
+    """The primary JSONL sink must not fail silently — from log() OR
+    log_config() (a run with an unwritable output dir should die loudly at
+    config time, not log nothing)."""
+
+    class DeadPrimary:
+        def log(self, step, **kw):
+            raise OSError("disk full")
+
+        def log_config(self, c):
+            raise OSError("disk full")
+
+    obs = observers.ObserverSet([DeadPrimary()])
+    with pytest.raises(OSError):
+        obs.log(1, loss=2.0)
+    with pytest.raises(OSError):
+        obs.log_config({"dim": 128})

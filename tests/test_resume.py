@@ -100,6 +100,36 @@ def test_resume_legacy_markerless_stacked_state(workdir):
     assert np.isclose(r_res["test_mrr"], r_full["test_mrr"], atol=1e-6)
 
 
+def test_peek_leaf_shapes_disambiguates_single_layer_layout(tmp_path):
+    """With num_layers == 1, stacked and unstacked trees have EQUAL leaf
+    counts, so the legacy-file layout probe must fall through to comparing
+    leaf shapes (stacked layer leaves carry a leading (1,) axis) — ADVICE
+    r04 #3. peek_leaf_shapes reads .npy headers only."""
+    import jax
+
+    from blp_tpu import checkpoint as ckpt
+    from blp_tpu import training
+    from blp_tpu.models import bert, blp
+
+    cfg = blp.ModelConfig(
+        model="blp", rel_model="transe", loss_fn="margin", dim=8,
+        num_relations=3, encoder=bert.BertConfig.tiny(num_layers=1))
+    stacked = blp.init_params(jax.random.key(0), cfg)
+    unstacked = training.unstack_params(stacked)
+    # The ambiguity: equal leaf counts...
+    assert len(jax.tree.leaves(stacked)) == len(jax.tree.leaves(unstacked))
+
+    f_stacked = str(tmp_path / "stacked.npz")
+    f_unstacked = str(tmp_path / "unstacked.npz")
+    ckpt.save_pytree(f_stacked, stacked, {})
+    ckpt.save_pytree(f_unstacked, unstacked, {})
+    live_shapes = [tuple(l.shape) for l in jax.tree.leaves(unstacked)]
+    # ...but distinguishable shapes: the probe must flag the stacked file.
+    assert ckpt.peek_leaf_shapes(f_stacked) != live_shapes
+    assert ckpt.peek_leaf_shapes(f_unstacked) == live_shapes
+    assert ckpt.peek_num_leaves(f_stacked) == len(live_shapes)
+
+
 def test_auto_resume_same_run_id(workdir):
     """resume='auto' + fixed run_id: a relaunched (preempted) job picks up
     its own train_state file and finishes identically to a straight run."""
