@@ -21,19 +21,26 @@ import numpy as np
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
     from blp_tpu import training
     from blp_tpu.models import bert, blp
 
-    B, L, K = 128, 32, 64
-    steps, warmup, windows = 20, 6, 3
+    # --w5m: the Wikidata5M TRAINING operating point (reference config
+    # scripts/blp-transe-wikidata5m.sh — B=1024, max_len=64, K=64, bf16;
+    # remat=True is required to fit 16 GB HBM at this batch). Default stays
+    # the flagship point for metric continuity across rounds.
+    w5m = "--w5m" in sys.argv[1:]
+    B, L, K = (1024, 64, 64) if w5m else (128, 32, 64)
+    steps, warmup, windows = (10, 6, 3) if w5m else (20, 6, 3)
 
     cfg = blp.ModelConfig(
         model="blp", rel_model="transe", loss_fn="margin", dim=128,
         num_relations=16,
-        encoder=bert.BertConfig(compute_dtype=jnp.bfloat16))
+        encoder=bert.BertConfig(compute_dtype=jnp.bfloat16, remat=w5m))
     params = training.unstack_params(blp.init_params(jax.random.key(0), cfg))
     optimizer = training.make_optimizer(2e-5, 10_000)
     opt_state = jax.jit(optimizer.init)(params)
@@ -87,10 +94,10 @@ def main():
             vs = tput / json.load(f)["value"]
 
     print(json.dumps({
-        "metric": "train_triples_per_sec",
+        "metric": "train_triples_per_sec_w5m" if w5m else "train_triples_per_sec",
         "value": round(tput, 2),
         "unit": "triples/s",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": round(vs, 2) if not w5m else 0.0,
     }))
 
 

@@ -20,4 +20,5 @@ max_epochs=5 \
 checkpoint=None \
 use_cached_text=False \
 large_dataset=True \
-bf16=True
+bf16=True \
+remat=True

@@ -20,4 +20,5 @@ max_epochs=0 \
 checkpoint='output/model-blp-simple-wikidata5m.npz' \
 use_cached_text=True \
 large_dataset=True \
-bf16=True
+bf16=True \
+remat=True

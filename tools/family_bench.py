@@ -25,6 +25,11 @@ FAMILIES = {
     "bert-dkrl": (2048, 32, 128, 768, 28_996),
     "transductive": (4096, 0, 128, 0, 0),
     "blp": (128, 32, 128, 0, 0),
+    # The Wikidata5M TRAINING operating point (reference config:
+    # scripts/blp-transe-wikidata5m.sh — B=1024, max_len=64, K=64, bf16);
+    # needs remat=True to fit a 16 GB v5e (the (2B, S, 4H) FFN stashes alone
+    # are ~10 GB without it — PERFORMANCE.md W5M operating point section).
+    "blp-w5m": (1024, 64, 128, 0, 0),
 }
 
 
@@ -37,11 +42,13 @@ def bench_family(model: str, *, reps: int = 15) -> dict:
 
     B, L, dim, emb_dim, vocab = FAMILIES[model]
     K = 64
-    kw = dict(model=model, rel_model="transe", loss_fn="margin", dim=dim,
+    kw = dict(model="blp" if model.startswith("blp") else model,
+              rel_model="transe", loss_fn="margin", dim=dim,
               num_relations=16)
-    if model == "blp":
+    if model.startswith("blp"):
         cfg = blp.ModelConfig(
-            **kw, encoder=bert.BertConfig(compute_dtype=jnp.bfloat16))
+            **kw, encoder=bert.BertConfig(compute_dtype=jnp.bfloat16,
+                                          remat=(model == "blp-w5m")))
     elif model == "transductive":
         cfg = blp.ModelConfig(**kw, num_entities=40_000)
     else:
@@ -55,7 +62,7 @@ def bench_family(model: str, *, reps: int = 15) -> dict:
         batch = {"pos_pairs": jnp.asarray(rng.integers(0, 40_000, (B, 2))),
                  "rels": jnp.asarray(rng.integers(0, 16, (B,)))}
     else:
-        V = cfg.encoder.vocab_size if model == "blp" else vocab
+        V = cfg.encoder.vocab_size if model.startswith("blp") else vocab
         batch = {"text_tok": jnp.asarray(rng.integers(1, V, (B, 2, L))),
                  "text_mask": jnp.asarray(np.ones((B, 2, L), np.float32)),
                  "rels": jnp.asarray(rng.integers(0, 16, (B,)))}

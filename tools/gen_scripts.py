@@ -72,6 +72,11 @@ def base_args(dataset, model, rel_model, lr, max_epochs, use_scheduler,
         "use_cached_text": False,
         "large_dataset": large,
         "bf16": model == "blp",
+        # Wikidata5M's B=1024 x L=64 BLP step does NOT fit 16 GB HBM without
+        # per-layer rematerialization (the bf16 FFN/attention stashes alone
+        # are ~14 GB); remat=True is measured-required and costs ~30%
+        # recompute at this point (PERFORMANCE.md, W5M operating point).
+        **({"remat": True} if large and model == "blp" else {}),
     }
 
 

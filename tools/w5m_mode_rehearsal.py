@@ -1,0 +1,71 @@
+"""Wikidata5M-MODE rehearsal with a quality bar: 300k-entity typed graph,
+large_dataset=True semantics, from-scratch BERT-base, absolute MRR assertion.
+
+The 20k on-chip quality check (tools/onchip_blp_20k.py) pins absolute
+learning quality but runs the SMALL-dataset driver path. This rehearsal runs
+the same typed-graph methodology at 15x scale through the LARGE-dataset path
+the real Wikidata5M config takes (reference train.py:297-315,381-393 —
+`large_dataset=True`: no global filter graph, no train-sample eval,
+valid-only/test-only filter graphs, best-checkpoint reload), so a quality
+regression specific to those semantics cannot hide behind the toy graph.
+
+Task construction (see blp_tpu/data/synth.py): 30,000 types of ~10 members,
+the type word leads each description, relation r links one fixed (head_type,
+tail_type) pair. Perfect type knowledge alone yields raw MRR ≈ H(10)/10 =
+0.293 against a type-blind candidate set; random is ~ln(N)/N ≈ 1e-4 at the
+dev candidate-set scale. The default bar (filtered MRR ≥ 0.10) is ~1000x
+random and requires the encoder to actually read type words — it is NOT
+reachable by degenerate embeddings.
+
+    python tools/w5m_mode_rehearsal.py --epochs 2 --out /tmp/w5m_mode
+"""
+import argparse
+import json
+import os
+import time
+
+from blp_tpu.config import ExperimentConfig
+from blp_tpu.data.synth import write_synth_dataset
+from blp_tpu.train import link_prediction
+
+p = argparse.ArgumentParser()
+p.add_argument("--out", default="/tmp/w5m_mode")
+p.add_argument("--epochs", type=int, default=2)
+p.add_argument("--entities", type=int, default=300_000)
+p.add_argument("--types", type=int, default=30_000)
+p.add_argument("--triples", type=int, default=900_000)
+p.add_argument("--batch", type=int, default=512)
+p.add_argument("--bar", type=float, default=0.10,
+               help="filtered test-MRR assertion bar (0 disables)")
+args = p.parse_args()
+
+d = os.path.join(args.out, "data", "typed300k")
+if not os.path.exists(os.path.join(d, "ind-train.tsv")):
+    t0 = time.time()
+    write_synth_dataset(
+        d, num_entities=args.entities, num_relations=args.types,
+        num_triples=args.triples, num_types=args.types,
+        distinct_type_pairs=True, desc_words=(1, 3), inductive_frac=0.1,
+        seed=31)
+    print(f"dataset written in {time.time() - t0:.0f}s")
+
+cfg = ExperimentConfig(
+    dataset="typed300k", data_dir=os.path.join(args.out, "data"),
+    out_dir=os.path.join(args.out, "run"), inductive=True, model="blp",
+    rel_model="transe", loss_fn="margin", dim=128, max_len=16,
+    num_negatives=64, lr=1e-4, use_scheduler=True, batch_size=args.batch,
+    emb_batch_size=2048, eval_batch_size=64, max_epochs=args.epochs,
+    eval_every=1, tile=65536, bf16=True, remat=True,
+    large_dataset=True, use_cached_text=True,
+    run_id="w5m-mode", resume="auto", seed=0)
+t0 = time.time()
+r = link_prediction(cfg)
+r["wall_s"] = round(time.time() - t0, 1)
+r["type_ceiling_mrr"] = 0.293  # H(10)/10
+r["bar"] = args.bar
+print(json.dumps(r))
+if args.bar > 0:
+    assert r["test_mrr_filt"] >= args.bar, (
+        f"large_dataset-mode quality regression: filtered test MRR "
+        f"{r['test_mrr_filt']:.4f} < bar {args.bar}")
+    print(f"PASS: filtered test MRR {r['test_mrr_filt']:.4f} >= {args.bar}")
