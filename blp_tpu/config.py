@@ -51,6 +51,9 @@ class ExperimentConfig:
     hf_weights: str | None = None       # local HF BertModel state dict (.pt/.bin) for model=blp
     bf16: bool = False                  # bfloat16 encoder compute
     remat: bool = False                 # rematerialize BERT layers in backward
+                                        # (True | False | int k = remat only
+                                        # the first k layers — HBM/recompute
+                                        # dial, BertConfig.remat)
     fast_train: bool = False            # poly-GeLU training numerics (bf16
                                         # only; quality-parity A/B'd —
                                         # BertConfig.fast_train)

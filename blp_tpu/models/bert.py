@@ -546,6 +546,18 @@ def bert_encode(
         def body_fn(x_, lp_, rngs_):
             return layer_fn(cfg, x_, mask_bias, lp_, rngs_, dropout_rate)
 
+        plain_fn = body_fn
+        # remat=<int k>: PARTIAL rematerialization — checkpoint only the
+        # first k layers and let the rest stash normally. Peak memory at the
+        # end of the forward is k small boundary residuals + (L-k) full
+        # per-layer stashes, so k dials recompute against HBM (at the W5M
+        # operating point, B=1024/L=64, each non-remat'd BERT-base layer
+        # stashes ~2 GB; see PERFORMANCE.md round-5 W5M section for the
+        # measured k sweep). Unstacked layout only (the rolled scan has one
+        # body; int falls back to full remat there).
+        remat_k = cfg.num_layers
+        if isinstance(cfg.remat, int) and not isinstance(cfg.remat, bool):
+            remat_k = cfg.remat
         if cfg.remat:
             # Same policy selection as the stacked scan below — remat="dots"/
             # "names" must not silently degrade to full per-layer recompute
@@ -560,7 +572,7 @@ def bert_encode(
             body_fn = jax.checkpoint(body_fn, policy=policy)
         for i, lp in enumerate(layers):
             rngs = None if layer_rngs is None else layer_rngs[i]
-            x = body_fn(x, lp, rngs)
+            x = (body_fn if i < remat_k else plain_fn)(x, lp, rngs)
         return x.reshape(B, S, x.shape[-1]) if pack > 1 else x
 
     def body(carry, scanned):

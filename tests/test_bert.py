@@ -346,3 +346,32 @@ def test_fast_train_numerics_close_and_fp32_ignored():
     b = bert.bert_encode(params, ids, None, cfg32,
                          deterministic=False, dropout_rng=jax.random.key(3))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_partial_remat_matches_full():
+    """remat=<int k> (partial rematerialization on the unstacked layout) must
+    be a pure memory/time tradeoff: same outputs and gradients as remat=True
+    and remat=False."""
+    import dataclasses
+
+    from blp_tpu import training
+
+    cfg = bert.BertConfig.tiny(num_heads=4)
+    stacked = bert.init_bert_params(jax.random.key(0), cfg)
+    params = bert.unstack_layers(stacked)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, cfg.vocab_size,
+                                                        (4, 8)))
+
+    def loss(p, c):
+        out = bert.bert_encode(p, ids, None, c, deterministic=False,
+                               dropout_rng=jax.random.key(7))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(loss)(params, cfg)
+    for r in (True, 1, 2):
+        c = dataclasses.replace(cfg, remat=r)
+        l, g = jax.value_and_grad(lambda p: loss(p, c))(params)
+        np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)

@@ -17,7 +17,7 @@ dev candidate-set scale. The default bar (filtered MRR ≥ 0.10) is ~1000x
 random and requires the encoder to actually read type words — it is NOT
 reachable by degenerate embeddings.
 
-    python tools/w5m_mode_rehearsal.py --epochs 2 --out /tmp/w5m_mode
+    python tools/w5m_mode_rehearsal.py --epochs 4 --out /tmp/w5m_mode
 """
 import argparse
 import json
@@ -30,34 +30,51 @@ from blp_tpu.train import link_prediction
 
 p = argparse.ArgumentParser()
 p.add_argument("--out", default="/tmp/w5m_mode")
-p.add_argument("--epochs", type=int, default=2)
+p.add_argument("--epochs", type=int, default=4)
 p.add_argument("--entities", type=int, default=300_000)
 p.add_argument("--types", type=int, default=30_000)
 p.add_argument("--triples", type=int, default=900_000)
-p.add_argument("--batch", type=int, default=512)
+p.add_argument("--batch", type=int, default=128)
+# Defaults mirror the PROVEN 20k quality recipe (B=128, lr=1e-4) at 15x
+# scale, with the epoch budget raised to 4: the margin-loss breakthrough on
+# the typed task is nonlinear (plateau -> cliff) and needs BOTH enough
+# optimizer steps (BERT-body adaptation) and enough per-type-word
+# occurrences (~100+; at 30k types each type word appears ~57x/epoch).
+# Measured plateaus recorded in PERFORMANCE.md: B=512/lr=1e-4/2 epochs
+# (3.1k steps, ~105 occ — chance) and B=128/2 epochs' first half
+# (3.7k steps, ~31 occ — chance). Big-batch THROUGHPUT at the W5M
+# operating point is covered by bench.py --w5m / family_bench, which carry
+# no quality claim.
+p.add_argument("--lr", type=float, default=1e-4)
+p.add_argument("--run-id", default="w5m-mode")
 p.add_argument("--bar", type=float, default=0.10,
                help="filtered test-MRR assertion bar (0 disables)")
+# The reference's Wikidata5M holds out ~0.15% of entities (4.6k/6.9k of
+# 4.8M); 3% here is still 20x that fraction and keeps the two held-out
+# eval splits at ~25k triples (an 0.1 frac made each full eval pass
+# ~80k triples — most of the rehearsal's wall clock for no extra signal).
+p.add_argument("--inductive-frac", type=float, default=0.03)
 args = p.parse_args()
 
-d = os.path.join(args.out, "data", "typed300k")
+d = os.path.join(args.out, "data", f"typed300k-f{args.inductive_frac:g}")
 if not os.path.exists(os.path.join(d, "ind-train.tsv")):
     t0 = time.time()
     write_synth_dataset(
         d, num_entities=args.entities, num_relations=args.types,
         num_triples=args.triples, num_types=args.types,
-        distinct_type_pairs=True, desc_words=(1, 3), inductive_frac=0.1,
-        seed=31)
+        distinct_type_pairs=True, desc_words=(1, 3),
+        inductive_frac=args.inductive_frac, seed=31)
     print(f"dataset written in {time.time() - t0:.0f}s")
 
 cfg = ExperimentConfig(
-    dataset="typed300k", data_dir=os.path.join(args.out, "data"),
+    dataset=os.path.basename(d), data_dir=os.path.join(args.out, "data"),
     out_dir=os.path.join(args.out, "run"), inductive=True, model="blp",
     rel_model="transe", loss_fn="margin", dim=128, max_len=16,
-    num_negatives=64, lr=1e-4, use_scheduler=True, batch_size=args.batch,
+    num_negatives=64, lr=args.lr, use_scheduler=True, batch_size=args.batch,
     emb_batch_size=2048, eval_batch_size=64, max_epochs=args.epochs,
     eval_every=1, tile=65536, bf16=True, remat=True,
     large_dataset=True, use_cached_text=True,
-    run_id="w5m-mode", resume="auto", seed=0)
+    run_id=args.run_id, resume="auto", seed=0)
 t0 = time.time()
 r = link_prediction(cfg)
 r["wall_s"] = round(time.time() - t0, 1)
