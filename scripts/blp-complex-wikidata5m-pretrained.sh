@@ -21,4 +21,4 @@ checkpoint='output/model-blp-complex-wikidata5m.npz' \
 use_cached_text=True \
 large_dataset=True \
 bf16=True \
-remat=True
+remat=8

@@ -21,4 +21,4 @@ checkpoint=None \
 use_cached_text=False \
 large_dataset=True \
 bf16=True \
-remat=True
+remat=8

@@ -27,8 +27,9 @@ FAMILIES = {
     "blp": (128, 32, 128, 0, 0),
     # The Wikidata5M TRAINING operating point (reference config:
     # scripts/blp-transe-wikidata5m.sh — B=1024, max_len=64, K=64, bf16);
-    # needs remat=True to fit a 16 GB v5e (the (2B, S, 4H) FFN stashes alone
-    # are ~10 GB without it — PERFORMANCE.md W5M operating point section).
+    # needs rematerialization to fit a 16 GB v5e (the (2B, S, 4H) FFN
+    # stashes alone are ~10 GB without it); runs the shipped launcher
+    # config — partial remat k=8 + fast_train (PERFORMANCE.md k sweep).
     "blp-w5m": (1024, 64, 128, 0, 0),
 }
 
@@ -46,9 +47,11 @@ def bench_family(model: str, *, reps: int = 15) -> dict:
               rel_model="transe", loss_fn="margin", dim=dim,
               num_relations=16)
     if model.startswith("blp"):
+        w5m = model == "blp-w5m"
         cfg = blp.ModelConfig(
             **kw, encoder=bert.BertConfig(compute_dtype=jnp.bfloat16,
-                                          remat=(model == "blp-w5m")))
+                                          remat=8 if w5m else False,
+                                          fast_train=w5m))
     elif model == "transductive":
         cfg = blp.ModelConfig(**kw, num_entities=40_000)
     else:

@@ -9,13 +9,23 @@ the real Wikidata5M config takes (reference train.py:297-315,381-393 —
 valid-only/test-only filter graphs, best-checkpoint reload), so a quality
 regression specific to those semantics cannot hide behind the toy graph.
 
-Task construction (see blp_tpu/data/synth.py): 30,000 types of ~10 members,
+Task construction (see blp_tpu/data/synth.py): 10,000 types of ~30 members,
 the type word leads each description, relation r links one fixed (head_type,
-tail_type) pair. Perfect type knowledge alone yields raw MRR ≈ H(10)/10 =
-0.293 against a type-blind candidate set; random is ~ln(N)/N ≈ 1e-4 at the
-dev candidate-set scale. The default bar (filtered MRR ≥ 0.10) is ~1000x
+tail_type) pair. Perfect type knowledge alone yields raw MRR ≈ H(30)/30 =
+0.133 against a type-blind candidate set; random is ~ln(N)/N ≈ 1e-3 at the
+dev candidate-set scale. The default bar (filtered MRR ≥ 0.05) is ~50x
 random and requires the encoder to actually read type words — it is NOT
 reachable by degenerate embeddings.
+
+Why 10k types, not 30k (measured, round 5): keeping the 20k graph's ~10
+members/type at 300k entities means 30,000 type words, and that
+cardinality does NOT break through the margin-loss plateau in any tested
+budget (B=512/3.1k steps and B=128/13.3k steps both ended at chance,
+~114-134 occurrences per type word — versus the 20k graph's 2k types
+breaking through inside 1k steps at the same per-word occurrence rate).
+The bottleneck is type-direction crowding in the 128-d projection, not
+sample count; 10k types at 30 members each keeps the full 300k-entity,
+~900k-edge scale while staying in the learnable regime.
 
     python tools/w5m_mode_rehearsal.py --epochs 4 --out /tmp/w5m_mode
 """
@@ -32,7 +42,7 @@ p = argparse.ArgumentParser()
 p.add_argument("--out", default="/tmp/w5m_mode")
 p.add_argument("--epochs", type=int, default=4)
 p.add_argument("--entities", type=int, default=300_000)
-p.add_argument("--types", type=int, default=30_000)
+p.add_argument("--types", type=int, default=10_000)
 p.add_argument("--triples", type=int, default=900_000)
 p.add_argument("--batch", type=int, default=128)
 # Defaults mirror the PROVEN 20k quality recipe (B=128, lr=1e-4) at 15x
@@ -47,7 +57,7 @@ p.add_argument("--batch", type=int, default=128)
 # no quality claim.
 p.add_argument("--lr", type=float, default=1e-4)
 p.add_argument("--run-id", default="w5m-mode")
-p.add_argument("--bar", type=float, default=0.10,
+p.add_argument("--bar", type=float, default=0.05,
                help="filtered test-MRR assertion bar (0 disables)")
 # The reference's Wikidata5M holds out ~0.15% of entities (4.6k/6.9k of
 # 4.8M); 3% here is still 20x that fraction and keeps the two held-out
@@ -56,7 +66,9 @@ p.add_argument("--bar", type=float, default=0.10,
 p.add_argument("--inductive-frac", type=float, default=0.03)
 args = p.parse_args()
 
-d = os.path.join(args.out, "data", f"typed300k-f{args.inductive_frac:g}")
+d = os.path.join(args.out, "data",
+                 f"typed{args.entities // 1000}k-t{args.types // 1000}k"
+                 f"-f{args.inductive_frac:g}")
 if not os.path.exists(os.path.join(d, "ind-train.tsv")):
     t0 = time.time()
     write_synth_dataset(
@@ -78,7 +90,9 @@ cfg = ExperimentConfig(
 t0 = time.time()
 r = link_prediction(cfg)
 r["wall_s"] = round(time.time() - t0, 1)
-r["type_ceiling_mrr"] = 0.293  # H(10)/10
+members = args.entities / args.types
+r["type_ceiling_mrr"] = round(
+    sum(1.0 / k for k in range(1, int(members) + 1)) / members, 4)  # H(M)/M
 r["bar"] = args.bar
 print(json.dumps(r))
 if args.bar > 0:
