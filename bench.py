@@ -31,12 +31,13 @@ def main():
 
     # --w5m: the Wikidata5M TRAINING operating point (reference config
     # scripts/blp-transe-wikidata5m.sh — B=1024, max_len=64, K=64, bf16).
-    # Rematerialization is required to fit 16 GB HBM at this batch; the
-    # bench runs the shipped launcher config — partial remat of 8 layers +
-    # fast_train poly-GeLU (quality-parity A/B'd; full k sweep in
-    # PERFORMANCE.md: remat=True 886 t/s, +fast_train 926, k=8 978, k=6
-    # 985 with no headroom). Default stays the flagship point for metric
-    # continuity across rounds.
+    # Rematerialization is required to fit 16 GB HBM at this batch. The
+    # bench runs partial remat k=8 + fast_train poly-GeLU — the
+    # quality-parity-A/B'd best stable config. NOTE: the shipped launchers
+    # use k=8 WITHOUT fast_train to keep reference numerics (942.7 t/s at
+    # 1086.2 ms measured); full k sweep in PERFORMANCE.md: remat=True 886
+    # t/s, +fast_train 926, k=8 978, k=6 985 with no headroom. Default
+    # stays the flagship point for metric continuity across rounds.
     w5m = "--w5m" in sys.argv[1:]
     B, L, K = (1024, 64, 64) if w5m else (128, 32, 64)
     steps, warmup, windows = (10, 6, 3) if w5m else (20, 6, 3)
@@ -88,7 +89,6 @@ def main():
         times.append((time.time() - t0) / steps)
     dt = min(times)
     tput = B / dt
-    import sys
     print(f"windows ms/step: {[round(t * 1e3, 1) for t in times]}",
           file=sys.stderr)
 

@@ -50,7 +50,7 @@ class ExperimentConfig:
     glove_file: str | None = None       # GloVe tensor .pt for glove-* models
     hf_weights: str | None = None       # local HF BertModel state dict (.pt/.bin) for model=blp
     bf16: bool = False                  # bfloat16 encoder compute
-    remat: bool = False                 # rematerialize BERT layers in backward
+    remat: bool | int = False           # rematerialize BERT layers in backward
                                         # (True | False | int k = remat only
                                         # the first k layers — HBM/recompute
                                         # dial, BertConfig.remat)
@@ -93,16 +93,24 @@ class ExperimentConfig:
         return f"{self.dataset_dir}/{prefix}{split}.tsv"
 
 
-_BOOL = {"true": True, "false": False, "1": True, "0": False,
-         "yes": True, "no": False}
+# "1"/"0" deliberately NOT mapped to bools: remat takes an int layer count
+# (remat=1 must mean partial remat of one layer, not True), and a bare 1/0
+# for a genuine bool field still behaves correctly as a truthy/falsy int.
+_BOOL = {"true": True, "false": False, "yes": True, "no": False}
 
 
 def _coerce(value: str, field_type: Any):
     if value.lower() in ("none", "null"):
         return None
-    if field_type in (bool, "bool") or (hasattr(field_type, "__args__") and bool in getattr(field_type, "__args__", ())):
-        if value.lower() in _BOOL:
-            return _BOOL[value.lower()]
+    # PEP-563 (from __future__ import annotations) leaves field types as
+    # STRINGS, so match both live types and annotation text ("bool",
+    # "bool | int", "bool = False" unions).
+    is_boolish = (
+        field_type is bool
+        or (isinstance(field_type, str) and "bool" in field_type)
+        or bool in getattr(field_type, "__args__", ()))
+    if is_boolish and value.lower() in _BOOL:
+        return _BOOL[value.lower()]
     try:
         return json.loads(value)
     except (json.JSONDecodeError, ValueError):

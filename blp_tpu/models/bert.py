@@ -272,8 +272,9 @@ def poly_gelu(x: Array) -> Array:
     """Exact-GeLU (erf) to beyond-bf16 accuracy in ~12 VPU ops instead of the
     ~25-op f32 erf polynomial. The erf epilogue throttled the inference FFN
     fusions to 108 TF/s on v5e; with this they run at 187 TF/s (~95% of
-    peak). Only used on the bf16 fast_inference path — fp32 and training
-    keep `jax.nn.gelu(approximate=False)`."""
+    peak). Used on the bf16 fast_inference path and, when
+    `BertConfig.fast_train` is set, in the bf16 TRAINING pass (fwd+bwd);
+    fp32 parity mode always keeps `jax.nn.gelu(approximate=False)`."""
     xf = x.astype(jnp.float32)
     xc = jnp.clip(xf, -4.0, 4.0)
     u = xc * xc

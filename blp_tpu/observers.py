@@ -130,8 +130,10 @@ class ObserverSet:
                 if i == 0:  # the primary JSONL sink must not fail silently
                     raise
                 name = type(o).__name__
-                if name not in self._warned:  # warn once, then stay quiet
-                    self._warned.add(name)
+                # Keyed per (sink, method): a config-time failure must not
+                # suppress the later, more informative per-step warning.
+                if (name, "log") not in self._warned:  # warn once
+                    self._warned.add((name, "log"))
                     import logging
 
                     logging.getLogger("blp_tpu").warning(
@@ -149,8 +151,8 @@ class ObserverSet:
                 if i == 0:
                     raise
                 name = type(o).__name__
-                if name not in self._warned:
-                    self._warned.add(name)
+                if (name, "log_config") not in self._warned:
+                    self._warned.add((name, "log_config"))
                     import logging
 
                     logging.getLogger("blp_tpu").warning(

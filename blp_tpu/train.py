@@ -458,6 +458,11 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
                 metrics_log.log(global_step - log_every, batch_loss=loss_val)
         epoch_loss = (float(np.mean(jax.device_get(jnp.stack(step_losses))))
                       if step_losses else 0.0)
+        if step_losses and steps_per_epoch <= log_every:
+            # Epochs too short for a lagged log point (e.g. 1 step) would
+            # otherwise emit no batch_loss at all; the epoch-end sync above
+            # already materialized every loss, so this read is free.
+            metrics_log.log(global_step, batch_loss=float(step_losses[-1]))
         dt = time.time() - t0
         tput = steps_per_epoch * cfg.batch_size / max(dt, 1e-9)
         metrics_log.log(epoch, train_loss=epoch_loss,

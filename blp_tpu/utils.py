@@ -47,8 +47,14 @@ def load_embedding_export(out_dir: str, run_id: str):
         if isinstance(emb, tuple):  # reference: train.py:411-412
             emb = emb[0]
         ents = torch.load(ents_pt, map_location="cpu", weights_only=False)
-        return (np.asarray(emb.squeeze().detach().numpy(), np.float32),
-                np.asarray(ents.numpy(), np.int64))
+        arr = np.asarray(emb.detach().numpy(), np.float32)
+        # The reference loader squeezes wrapper axes (train.py:414); a bare
+        # .squeeze() would also collapse a legitimate single-entity (1, d)
+        # export to (d,) and crash shape-indexing consumers — restore 2-D.
+        arr = arr.squeeze()
+        if arr.ndim == 1:
+            arr = arr.reshape(1, -1)
+        return arr, np.asarray(ents.numpy(), np.int64)
     raise FileNotFoundError(
         f"no embedding export for run {run_id!r} in {out_dir!r}: looked for "
         f"{npz} and {pt} (+ {ents_pt})")

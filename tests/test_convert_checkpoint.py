@@ -246,6 +246,13 @@ def test_load_embedding_export_torch_pair(tmp_path):
     got_emb, got_ids = load_embedding_export(str(tmp_path), "ref42")
     assert got_emb.shape == (4, 16)
 
+    # A single-entity export must stay 2-D — .squeeze() alone would
+    # collapse (1, d) to (d,) and crash shape-indexing consumers.
+    torch.save(torch.randn(1, 16), tmp_path / "ent_emb-one.pt")
+    torch.save(torch.tensor([5]), tmp_path / "ents-one.pt")
+    one_emb, one_ids = load_embedding_export(str(tmp_path), "one")
+    assert one_emb.shape == (1, 16) and one_ids.tolist() == [5]
+
     with pytest.raises(FileNotFoundError):
         load_embedding_export(str(tmp_path), "missing-run")
     # A lone ent_emb .pt without its ents pair is an error, not a guess.

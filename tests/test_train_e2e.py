@@ -82,6 +82,14 @@ def test_parse_overrides_roundtrip():
     assert cfg.checkpoint is None
     assert cfg.lr == 3e-5
     assert cfg.max_epochs == 0
+    # remat accepts bools AND the partial-remat layer count (remat=8 in the
+    # Wikidata5M launchers — BertConfig.remat=<int k>); small counts must
+    # NOT collapse to booleans (review r05: remat=1 used to coerce to True).
+    assert parse_overrides(["remat=true"]).remat is True
+    assert parse_overrides(["remat=8"]).remat == 8
+    assert parse_overrides(["remat=1"]).remat == 1
+    assert parse_overrides(["remat=0"]).remat == 0
+    assert parse_overrides(["fast_train=true"]).fast_train is True
     with pytest.raises(ValueError, match="Unknown config key"):
         parse_overrides(["nope=1"])
 

@@ -27,9 +27,11 @@ FAMILIES = {
     "blp": (128, 32, 128, 0, 0),
     # The Wikidata5M TRAINING operating point (reference config:
     # scripts/blp-transe-wikidata5m.sh — B=1024, max_len=64, K=64, bf16);
-    # needs rematerialization to fit a 16 GB v5e (the (2B, S, 4H) FFN
-    # stashes alone are ~10 GB without it); runs the shipped launcher
-    # config — partial remat k=8 + fast_train (PERFORMANCE.md k sweep).
+    # needs rematerialization to fit a 16 GB v5e (per layer the bf16
+    # stashes are ~2 GB, dominated by the 768 MB (2B/4, 128, 3072) FFN
+    # temp — ~24 GB over 12 layers un-remat'd). Runs partial remat k=8 +
+    # fast_train, the best stable A/B'd config; the shipped launchers use
+    # k=8 without fast_train for reference numerics (PERFORMANCE.md).
     "blp-w5m": (1024, 64, 128, 0, 0),
 }
 

@@ -72,14 +72,15 @@ def base_args(dataset, model, rel_model, lr, max_epochs, use_scheduler,
         "use_cached_text": False,
         "large_dataset": large,
         "bf16": model == "blp",
-        # Wikidata5M's B=1024 x L=64 BLP step does NOT fit 16 GB HBM without
-        # rematerialization (the bf16 FFN/attention stashes alone are
-        # ~14 GB). remat=8 = partial remat of 8 of 12 layers — the measured
-        # sweet spot with ~4 GB headroom (full sweep in PERFORMANCE.md:
-        # remat=True 1155.7 ms/step, k=8 1047.3, k=6 1039 with no margin).
-        # Numerics are untouched by remat; the further fast_train knob
-        # (+~4%, quality-parity A/B'd) is left off in presets to keep
-        # reference numerics.
+        # Wikidata5M's B=1024 x L=64 BLP step does NOT fit 16 GB HBM
+        # without rematerialization: per layer the bf16 stashes are ~2 GB
+        # (dominated by the 768 MB (2B/4, 128, 3072) FFN temp), ~24 GB over
+        # 12 layers. remat=8 = partial remat of 8 of 12 layers — the
+        # measured sweet spot with ~4 GB headroom (full sweep in
+        # PERFORMANCE.md; this launcher config measures 942.7 t/s at
+        # 1086.2 ms/step). Numerics are untouched by remat; the further
+        # fast_train knob (+~4%, quality-parity A/B'd) is left off in
+        # presets to keep reference numerics.
         **({"remat": 8} if large and model == "blp" else {}),
     }
 
