@@ -49,6 +49,10 @@ def main():
                                 remat=8 if w5m else False,
                                 fast_train=w5m))
     params = training.unstack_params(blp.init_params(jax.random.key(0), cfg))
+    # f32 Adam state (reference numerics). Reduced-precision Adam state
+    # was priced in round 5 and NOT adopted: bf16 both-moments is +3.4%
+    # here but stalls convergence (nu ulp absorption), bf16 mu-only is
+    # quality-safe but speed-neutral (40.8 vs 41.0 ms) — PERFORMANCE.md.
     optimizer = training.make_optimizer(2e-5, 10_000)
     opt_state = jax.jit(optimizer.init)(params)
     step = training.make_train_step(cfg, optimizer, batch_size=B,

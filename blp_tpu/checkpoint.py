@@ -39,8 +39,13 @@ def save_pytree(path: str, tree, metadata: dict | None = None) -> None:
         structure = json.dumps(_structure(tree))
     except TypeError:
         structure = "null"
+    # Extension dtypes (ml_dtypes bfloat16 et al.) survive the .npy byte
+    # round-trip but come BACK as anonymous void ('V2') dtypes — record the
+    # real dtype names so load_pytree can re-view them (a resumed bf16-moment
+    # Adam state must not surface as un-computable raw bytes).
+    dtypes = json.dumps([a.dtype.name for a in arrays.values()])
     np.savez(path, __metadata__=json.dumps(metadata or {}),
-             __structure__=structure, **arrays)
+             __structure__=structure, __leaf_dtypes__=dtypes, **arrays)
 
 
 def _rebuild(structure, leaves: list):
@@ -89,13 +94,44 @@ def peek_leaf_shapes(path: str) -> list[tuple]:
     return shapes
 
 
+def _named_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def _restore_dtypes(leaves: list, dtype_names, template=None) -> list:
+    """Re-view leaves that numpy loaded as anonymous void bytes back to the
+    extension dtype they were saved with (see save_pytree). Legacy files
+    without the dtype record fall back to the template leaf's dtype when the
+    itemsize matches."""
+    tmpl_leaves = jax.tree.leaves(template) if template is not None else None
+    out = []
+    for i, leaf in enumerate(leaves):
+        if leaf.dtype.kind == "V":
+            if dtype_names is not None:
+                leaf = leaf.view(_named_dtype(dtype_names[i]))
+            elif tmpl_leaves is not None:
+                want = np.dtype(tmpl_leaves[i].dtype)
+                if want.itemsize == leaf.dtype.itemsize:
+                    leaf = leaf.view(want)
+        out.append(leaf)
+    return out
+
+
 def load_pytree(path: str, template=None):
     """Returns (tree, metadata). With `template`, leaves are unflattened into
     the template's treedef (required for custom nodes like optax states)."""
     with np.load(path, allow_pickle=False) as data:
         metadata = json.loads(str(data["__metadata__"]))
         structure = json.loads(str(data["__structure__"]))
+        dtype_names = (json.loads(str(data["__leaf_dtypes__"]))
+                       if "__leaf_dtypes__" in data.files else None)
         leaves = [data[k] for k in sorted(data.files) if k.startswith("leaf_")]
+    leaves = _restore_dtypes(leaves, dtype_names, template)
     if template is not None:
         treedef = jax.tree.structure(template)
         return jax.tree.unflatten(treedef, leaves), metadata

@@ -57,6 +57,11 @@ class ExperimentConfig:
     fast_train: bool = False            # poly-GeLU training numerics (bf16
                                         # only; quality-parity A/B'd —
                                         # BertConfig.fast_train)
+    adam_bf16_mu: bool = False          # store Adam's first moment in
+                                        # bfloat16 (optax mu_dtype; second
+                                        # moment stays f32 — bf16 nu is a
+                                        # measured quality negative, see
+                                        # PERFORMANCE.md round 5)
     tile: int = 65536                   # ranking tile width (candidates per
                                         # streamed block; measured 2.8x over
                                         # 4096 at Wikidata5M scale on v5e)

@@ -224,7 +224,8 @@ def _link_prediction(cfg: ExperimentConfig, run_id: str,
 
     steps_per_epoch = num_batches(train_data, cfg.batch_size)
     total_steps = max(steps_per_epoch * cfg.max_epochs, 1)
-    optimizer = training.make_optimizer(cfg.lr, total_steps, cfg.use_scheduler)
+    optimizer = training.make_optimizer(cfg.lr, total_steps, cfg.use_scheduler,
+                                        bf16_mu=cfg.adam_bf16_mu)
 
     # SPMD over a (data, model) or (data, pipe) mesh when more than one shard
     # is requested (replaces the reference's torch DataParallel,

@@ -36,9 +36,69 @@ def linear_warmup_schedule(lr: float, total_steps: int, warmup_frac: float = 0.2
     return schedule
 
 
-def make_optimizer(lr: float, total_steps: int, use_scheduler: bool = True):
+def scale_by_adam_bf16_moments(b1: float = 0.9, b2: float = 0.999,
+                               eps: float = 1e-8):
+    """`optax.scale_by_adam` with BOTH moment buffers stored in bfloat16.
+
+    ** Measured QUALITY NEGATIVE — kept in-tree as engineering record, not
+    wired to any driver flag (PERFORMANCE.md round 5). ** Fast (+3.4%
+    flagship: the moment streams are the biggest slice of the Adam HBM
+    floor), and it tracks f32 Adam mid-curve (20k-task 8-epoch MRR within
+    3%), but it STALLS at convergence: 30-epoch test MRR 0.083 vs 0.293 for
+    f32 state. Mechanism: with b2=0.999 the second moment's per-step
+    increment is 0.001*g^2 — below bf16's ~2^-8 relative ulp of the running
+    nu once nu is established — so round-to-nearest absorbs every update,
+    nu freezes high, and the effective step collapses exactly when
+    gradients get small. This is why bf16 EMA accumulators need error
+    feedback (8-bit Adam) and why optax exposes mu_dtype but no nu_dtype.
+    The production option is mu-only bf16 (`make_optimizer(bf16_mu=True)`).
+    """
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros(jnp.shape(p), jnp.bfloat16)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        c1 = 1.0 - jnp.power(b1, count.astype(jnp.float32))
+        c2 = 1.0 - jnp.power(b2, count.astype(jnp.float32))
+
+        mu32 = jax.tree.map(
+            lambda g, m: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32),
+            updates, state.mu)
+        nu32 = jax.tree.map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates, state.nu)
+        upd = jax.tree.map(
+            lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu32, nu32)
+        cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+        return upd, optax.ScaleByAdamState(count=count, mu=cast(mu32),
+                                           nu=cast(nu32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(lr: float, total_steps: int, use_scheduler: bool = True,
+                   *, bf16_mu: bool = False, bf16_moments: bool = False):
+    """bf16_mu stores Adam's FIRST moment in bfloat16 (optax mu_dtype) —
+    mu's per-step increment is 0.1*g, well above bf16 ulp absorption, and
+    the stored noise is zero-mean. Measured speed-NEUTRAL on the flagship
+    (40.8 vs 41.0 ms); kept as a memory option (-220 MB device state for
+    BERT-base), quality-A/B'd to convergence on the 20k task
+    (PERFORMANCE.md round 5). bf16_moments (both buffers) is the measured
+    quality negative above — only reachable explicitly, for the record."""
     sched = linear_warmup_schedule(lr, total_steps) if use_scheduler else lr
-    return optax.adam(sched, eps=1e-8)
+    if bf16_moments:
+        return optax.chain(scale_by_adam_bf16_moments(eps=1e-8),
+                           optax.scale_by_learning_rate(sched))
+    return optax.adam(sched, eps=1e-8,
+                      mu_dtype=jnp.bfloat16 if bf16_mu else None)
 
 
 def unstack_params(params: dict) -> dict:

@@ -60,6 +60,9 @@ def bench_family(model: str, *, reps: int = 15) -> dict:
         cfg = blp.ModelConfig(**kw, emb_dim=emb_dim, vocab_size=vocab)
 
     params = training.unstack_params(blp.init_params(jax.random.key(0), cfg))
+    # f32 Adam state everywhere — reduced-precision state was priced in
+    # round 5 and not adopted (both-moments: quality negative; mu-only:
+    # speed-neutral). See PERFORMANCE.md.
     opt = training.make_optimizer(2e-5, 10_000)
     step = training.make_train_step(cfg, opt, batch_size=B, num_negatives=K)
     rng = np.random.default_rng(0)

@@ -30,6 +30,9 @@ p.add_argument("--batch", type=int, default=128)
 p.add_argument("--fast-train", action="store_true",
                help="poly-GeLU training numerics (BertConfig.fast_train) — "
                     "used for the quality A/B against the exact-erf run")
+p.add_argument("--adam-bf16", action="store_true",
+               help="bf16 Adam first-moment storage (adam_bf16_mu) — used "
+                    "for the quality A/B against the f32-state run")
 p.add_argument("--run-id", default=None)
 args = p.parse_args()
 
@@ -50,8 +53,10 @@ cfg = ExperimentConfig(
     num_negatives=64, lr=1e-4, use_scheduler=True, batch_size=args.batch,
     emb_batch_size=2048, eval_batch_size=64, max_epochs=args.epochs,
     eval_every=max(args.epochs // 2, 1), tile=20_480, bf16=True,
-    fast_train=args.fast_train,
-    run_id=args.run_id or ("blp20k-fast" if args.fast_train else "blp20k"),
+    fast_train=args.fast_train, adam_bf16_mu=args.adam_bf16,
+    run_id=args.run_id or ("blp20k-fast" if args.fast_train
+                           else "blp20k-adambf16" if args.adam_bf16
+                           else "blp20k"),
     resume="auto", seed=0)
 t0 = time.time()
 r = link_prediction(cfg)
