@@ -32,12 +32,12 @@ def main():
     # --w5m: the Wikidata5M TRAINING operating point (reference config
     # scripts/blp-transe-wikidata5m.sh — B=1024, max_len=64, K=64, bf16).
     # Rematerialization is required to fit 16 GB HBM at this batch. The
-    # bench runs partial remat k=8 + fast_train poly-GeLU — the
-    # quality-parity-A/B'd best stable config. NOTE: the shipped launchers
-    # use k=8 WITHOUT fast_train to keep reference numerics (942.7 t/s at
-    # 1086.2 ms measured); full k sweep in PERFORMANCE.md: remat=True 886
-    # t/s, +fast_train 926, k=8 978, k=6 985 with no headroom. Default
-    # stays the flagship point for metric continuity across rounds.
+    # bench runs partial remat k=8 + fast_train poly-GeLU + dropout_bits=8
+    # narrow mask draws — the quality-parity-A/B'd-to-convergence best
+    # stable config (918.9 ms = 1,114 t/s measured). NOTE: the shipped
+    # launchers use k=8 at reference numerics (942.7 t/s at 1086.2 ms);
+    # the k sweep and the dropout-mask-bits profile are in PERFORMANCE.md.
+    # Default stays the flagship point for metric continuity across rounds.
     w5m = "--w5m" in sys.argv[1:]
     B, L, K = (1024, 64, 64) if w5m else (128, 32, 64)
     steps, warmup, windows = (10, 6, 3) if w5m else (20, 6, 3)
@@ -47,6 +47,7 @@ def main():
         num_relations=16,
         encoder=bert.BertConfig(compute_dtype=jnp.bfloat16,
                                 remat=8 if w5m else False,
+                                dropout_bits=8 if w5m else 32,
                                 fast_train=w5m))
     params = training.unstack_params(blp.init_params(jax.random.key(0), cfg))
     # f32 Adam state (reference numerics). Reduced-precision Adam state

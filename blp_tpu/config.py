@@ -57,6 +57,12 @@ class ExperimentConfig:
     fast_train: bool = False            # poly-GeLU training numerics (bf16
                                         # only; quality-parity A/B'd —
                                         # BertConfig.fast_train)
+    dropout_bits: int = 32              # random-draw width behind dropout
+                                        # masks: 32 = reference bernoulli;
+                                        # 8/16 = uint threshold compare —
+                                        # +14%/+9% at the W5M operating
+                                        # point, LOSES at the flagship
+                                        # no-remat point (PERFORMANCE.md)
     adam_bf16_mu: bool = False          # store Adam's first moment in
                                         # bfloat16 (optax mu_dtype; second
                                         # moment stays f32 — bf16 nu is a

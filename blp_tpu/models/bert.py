@@ -44,6 +44,14 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
+    # Width of the random draw behind each dropout mask (32 = reference
+    # f32-uniform bernoulli; 16/8 = raw-uint threshold compare). Mask bits
+    # are pure HBM bandwidth on TPU — rng-bit-generator cannot fuse into
+    # consumers, so every mask buffer is written, layout-copied, and re-read
+    # at full width (~100 ms/step of u32 traffic at the W5M operating
+    # point). See _dropout_keep for the quantization math (keep-rescale uses
+    # the quantized probability, so E[dropout(x)] == x stays exact).
+    dropout_bits: int = 32
     initializer_range: float = 0.02
     compute_dtype: Any = jnp.float32
     remat: Any = False  # False | True (full) | "dots" (save matmul outputs)
@@ -170,8 +178,30 @@ def init_bert_params(key: Array, cfg: BertConfig) -> dict:
     }
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _rng_dropout(x: Array, key: Array, rate: float) -> Array:
+def _dropout_keep(key: Array, rate: float, nbits: int, shape):
+    """(keep_mask, keep_prob) for dropout. nbits=32 is the reference
+    semantics (f32-uniform bernoulli). nbits=8/16 draw raw uint bits and
+    threshold-compare: random masks are pure HBM bandwidth on TPU — the
+    rng-bit-generator op cannot fuse into its consumers, so the bits buffer
+    is written, layout-copied, and re-read at full width; at the W5M
+    operating point that is ~100 ms/step of u32 traffic (PERFORMANCE.md
+    round 5). Narrow bits cut those bytes 2x/4x. The drop probability
+    quantizes to round(rate*2^nbits)/2^nbits (0.1 -> 0.1015625 at 8 bits,
+    0.1000061 at 16); the keep-side rescale uses the QUANTIZED probability,
+    so E[dropout(x)] == x stays exact."""
+    if nbits == 32:
+        return jax.random.bernoulli(key, 1.0 - rate, shape), 1.0 - rate
+    if nbits not in (8, 16):
+        raise ValueError(f"dropout_bits must be 8, 16 or 32, got {nbits}")
+    dtype = jnp.uint8 if nbits == 8 else jnp.uint16
+    levels = 1 << nbits
+    t = int(round(rate * levels))
+    bits = jax.random.bits(key, shape, dtype)
+    return bits >= jnp.asarray(t, dtype), 1.0 - t / levels
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _rng_dropout(x: Array, key: Array, rate: float, nbits: int = 32) -> Array:
     """Dropout whose backward REGENERATES the mask from the key instead of
     stashing it: the only residual is the (tiny) key. Measured on v5e
     (flagship step, B=128) this is throughput-NEUTRAL — XLA already chose to
@@ -181,18 +211,18 @@ def _rng_dropout(x: Array, key: Array, rate: float) -> Array:
     same key reproduces the same mask. (Dropout's real cost is ~5 ms/step
     of broken fusion structure: deterministic=True measures 43.3 vs 48.7 ms.
     That is the price of the reference's training semantics, not stash
-    traffic.)"""
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
+    traffic.) nbits: width of the random draw (see _dropout_keep)."""
+    keep, keep_p = _dropout_keep(key, rate, nbits, x.shape)
+    return jnp.where(keep, x / keep_p, jnp.zeros((), x.dtype))
 
 
-def _rng_dropout_fwd(x, key, rate):
-    return _rng_dropout(x, key, rate), key
+def _rng_dropout_fwd(x, key, rate, nbits):
+    return _rng_dropout(x, key, rate, nbits), key
 
 
-def _rng_dropout_bwd(rate, key, g):
-    keep = jax.random.bernoulli(key, 1.0 - rate, g.shape)
-    return (jnp.where(keep, g / (1.0 - rate), jnp.zeros((), g.dtype)), None)
+def _rng_dropout_bwd(rate, nbits, key, g):
+    keep, keep_p = _dropout_keep(key, rate, nbits, g.shape)
+    return (jnp.where(keep, g / keep_p, jnp.zeros((), g.dtype)), None)
 
 
 _rng_dropout.defvjp(_rng_dropout_fwd, _rng_dropout_bwd)
@@ -403,7 +433,8 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     if mp:
         probs = probs.astype(dt)
     if dropout_rngs is not None and cfg.attention_dropout > 0.0:
-        probs = _rng_dropout(probs, dropout_rngs[0], cfg.attention_dropout)
+        probs = _rng_dropout(probs, dropout_rngs[0], cfg.attention_dropout,
+                             cfg.dropout_bits)
     if mp:
         ctx = jnp.einsum("bnqk,bnkd->bqnd", probs, v,
                          preferred_element_type=jnp.float32)
@@ -415,7 +446,8 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
     od = dt if mp else None
     attn_out = _dense(ctx, lp["attn_out_w"], lp["attn_out_b"], dt, od)
     if dropout_rngs is not None and dropout_rate > 0.0:
-        attn_out = _rng_dropout(attn_out, dropout_rngs[1], dropout_rate)
+        attn_out = _rng_dropout(attn_out, dropout_rngs[1], dropout_rate,
+                                cfg.dropout_bits)
     x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
                     cfg.layer_norm_eps, out_dtype=res_dt)
 
@@ -433,7 +465,8 @@ def _encoder_layer(cfg: BertConfig, x: Array, mask_bias: Array, lp: dict,
         ffn = jax.nn.gelu(ffn, approximate=False)
     ffn = _dense(ffn, lp["ffn_out_w"], lp["ffn_out_b"], dt, od)
     if dropout_rngs is not None and dropout_rate > 0.0:
-        ffn = _rng_dropout(ffn, dropout_rngs[2], dropout_rate)
+        ffn = _rng_dropout(ffn, dropout_rngs[2], dropout_rate,
+                           cfg.dropout_bits)
     x = _layer_norm(x + ffn, lp["ffn_ln_scale"], lp["ffn_ln_bias"],
                     cfg.layer_norm_eps, out_dtype=res_dt)
     return x
@@ -515,7 +548,8 @@ def bert_encode(
         # hardware RNG (rbg) — ~3x cheaper, still deterministic per input key.
         dropout_rng = jax.random.wrap_key_data(
             jax.random.bits(dropout_rng, (4,), jnp.uint32), impl="rbg")
-        x = _rng_dropout(x, jax.random.fold_in(dropout_rng, 0), dropout_rate)
+        x = _rng_dropout(x, jax.random.fold_in(dropout_rng, 0), dropout_rate,
+                         cfg.dropout_bits)
         layer_rngs = jax.random.split(jax.random.fold_in(dropout_rng, 1),
                                       cfg.num_layers * 3).reshape(cfg.num_layers, 3)
     else:

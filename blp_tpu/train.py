@@ -64,13 +64,18 @@ def make_model_config(cfg: ExperimentConfig, tokenizer, num_relations: int,
     emb_dim, vocab_size = 300, 0
     if cfg.model == "blp":
         vocab_size = len(tokenizer.vocab)
+        numerics = dict(
+            compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+            remat=cfg.remat, fast_train=cfg.fast_train,
+            dropout_bits=cfg.dropout_bits)
         if cfg.encoder_name == "tiny":
-            encoder = bert.BertConfig.tiny(vocab_size=max(vocab_size, 128))
+            # The tiny encoder honors the same numerics flags — a CLI run
+            # with encoder_name=tiny must exercise (and validate) exactly
+            # the knobs a full-size run would.
+            encoder = bert.BertConfig.tiny(vocab_size=max(vocab_size, 128),
+                                           **numerics)
         else:
-            encoder = bert.BertConfig(
-                vocab_size=vocab_size,
-                compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
-                remat=cfg.remat, fast_train=cfg.fast_train)
+            encoder = bert.BertConfig(vocab_size=vocab_size, **numerics)
     elif cfg.model.startswith("bert"):
         vocab_size = len(tokenizer.vocab)
         emb_dim = 768 if cfg.encoder_name != "tiny" else 32

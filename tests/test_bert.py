@@ -102,6 +102,55 @@ def test_dropout_determinism_flags():
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.parametrize("nbits", [8, 16, 32])
+def test_dropout_bits_mask_semantics(nbits):
+    """Narrow-bit dropout masks (dropout_bits=8/16): drop fraction matches
+    the QUANTIZED rate round(rate*2^n)/2^n, the keep-rescale preserves the
+    mean exactly in expectation, and the custom-vjp backward regenerates the
+    identical mask from the key."""
+    key = jax.random.key(3)
+    x = jnp.ones((4096, 64), jnp.float32)
+    rate = 0.1
+    y = bert._rng_dropout(x, key, rate, nbits)
+    eff = rate if nbits == 32 else round(rate * (1 << nbits)) / (1 << nbits)
+    frac = float((np.asarray(y) == 0).mean())
+    assert abs(frac - eff) < 0.01, (frac, eff)
+    # kept entries are rescaled by 1/(1-eff) — mean stays ~1
+    assert abs(float(np.asarray(y).mean()) - 1.0) < 0.01
+    kept = np.asarray(y)[np.asarray(y) != 0]
+    np.testing.assert_allclose(kept, 1.0 / (1.0 - eff), rtol=1e-6)
+    # backward drops exactly where forward dropped
+    g = jax.grad(lambda v: bert._rng_dropout(v, key, rate, nbits).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g) == 0, np.asarray(y) == 0)
+
+
+def test_dropout_bits_validation_and_encode():
+    with pytest.raises(ValueError, match="dropout_bits"):
+        bert._rng_dropout(jnp.ones((4, 4)), jax.random.key(0), 0.1, 12)
+    # full encode runs with narrow masks and differs from the bernoulli run
+    # (different draw), while staying deterministic per key
+    cfg = bert.BertConfig.tiny(dropout_bits=8)
+    params = bert.init_bert_params(jax.random.key(0), cfg)
+    ids = jnp.ones((2, 8), jnp.int32)
+    a = bert.bert_encode(params, ids, None, cfg, deterministic=False,
+                         dropout_rng=jax.random.key(1))
+    b = bert.bert_encode(params, ids, None, cfg, deterministic=False,
+                         dropout_rng=jax.random.key(1))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_dropout_bits_config_plumbing():
+    from blp_tpu.config import ExperimentConfig
+    from blp_tpu.train import make_model_config
+
+    class _Tok:
+        vocab = {str(i): i for i in range(128)}
+
+    cfg = ExperimentConfig(model="blp", dropout_bits=8)
+    mcfg = make_model_config(cfg, _Tok(), num_relations=4, num_entities=10)
+    assert mcfg.encoder.dropout_bits == 8
+
+
 def test_seq_packing_exact_vs_unpacked():
     """Packed attention (block-diagonal bias over folded sequences) must be
     numerically equivalent to per-sequence attention: the -10000 cross-block

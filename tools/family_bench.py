@@ -53,6 +53,7 @@ def bench_family(model: str, *, reps: int = 15) -> dict:
         cfg = blp.ModelConfig(
             **kw, encoder=bert.BertConfig(compute_dtype=jnp.bfloat16,
                                           remat=8 if w5m else False,
+                                          dropout_bits=8 if w5m else 32,
                                           fast_train=w5m))
     elif model == "transductive":
         cfg = blp.ModelConfig(**kw, num_entities=40_000)

@@ -33,6 +33,9 @@ p.add_argument("--fast-train", action="store_true",
 p.add_argument("--adam-bf16", action="store_true",
                help="bf16 Adam first-moment storage (adam_bf16_mu) — used "
                     "for the quality A/B against the f32-state run")
+p.add_argument("--dropout-bits", type=int, default=32,
+               help="dropout mask draw width (BertConfig.dropout_bits) — "
+                    "used for the quality A/B against the bernoulli run")
 p.add_argument("--run-id", default=None)
 args = p.parse_args()
 
@@ -54,9 +57,11 @@ cfg = ExperimentConfig(
     emb_batch_size=2048, eval_batch_size=64, max_epochs=args.epochs,
     eval_every=max(args.epochs // 2, 1), tile=20_480, bf16=True,
     fast_train=args.fast_train, adam_bf16_mu=args.adam_bf16,
+    dropout_bits=args.dropout_bits,
     run_id=args.run_id or ("blp20k-fast" if args.fast_train
                            else "blp20k-adambf16" if args.adam_bf16
-                           else "blp20k"),
+                           else f"blp20k-drop{args.dropout_bits}"
+                           if args.dropout_bits != 32 else "blp20k"),
     resume="auto", seed=0)
 t0 = time.time()
 r = link_prediction(cfg)
