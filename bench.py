@@ -32,11 +32,13 @@ def main():
     # --w5m: the Wikidata5M TRAINING operating point (reference config
     # scripts/blp-transe-wikidata5m.sh — B=1024, max_len=64, K=64, bf16).
     # Rematerialization is required to fit 16 GB HBM at this batch. The
-    # bench runs partial remat k=8 + fast_train poly-GeLU + dropout_bits=8
+    # bench runs partial remat k=4 + fast_train poly-GeLU + dropout_bits=8
     # narrow mask draws — the quality-parity-A/B'd-to-convergence best
-    # stable config (918.9 ms = 1,114 t/s measured). NOTE: the shipped
-    # launchers use k=8 at reference numerics (942.7 t/s at 1086.2 ms);
-    # the k sweep and the dropout-mask-bits profile are in PERFORMANCE.md.
+    # stable config (910.2 ms = 1,125 t/s measured; with the 4x-smaller
+    # mask buffers the remat-k optimum moved from 8 to 4). NOTE: the
+    # shipped launchers use k=8 at reference numerics (942.7 t/s at
+    # 1086.2 ms); the k sweep and the mask-bits profile are in
+    # PERFORMANCE.md.
     # Default stays the flagship point for metric continuity across rounds.
     w5m = "--w5m" in sys.argv[1:]
     B, L, K = (1024, 64, 64) if w5m else (128, 32, 64)
@@ -46,7 +48,7 @@ def main():
         model="blp", rel_model="transe", loss_fn="margin", dim=128,
         num_relations=16,
         encoder=bert.BertConfig(compute_dtype=jnp.bfloat16,
-                                remat=8 if w5m else False,
+                                remat=4 if w5m else False,
                                 dropout_bits=8 if w5m else 32,
                                 fast_train=w5m))
     params = training.unstack_params(blp.init_params(jax.random.key(0), cfg))

@@ -29,9 +29,10 @@ FAMILIES = {
     # scripts/blp-transe-wikidata5m.sh — B=1024, max_len=64, K=64, bf16);
     # needs rematerialization to fit a 16 GB v5e (per layer the bf16
     # stashes are ~2 GB, dominated by the 768 MB (2B/4, 128, 3072) FFN
-    # temp — ~24 GB over 12 layers un-remat'd). Runs partial remat k=8 +
-    # fast_train, the best stable A/B'd config; the shipped launchers use
-    # k=8 without fast_train for reference numerics (PERFORMANCE.md).
+    # temp — ~24 GB over 12 layers un-remat'd). Runs partial remat k=4 +
+    # fast_train + dropout_bits=8, the best stable A/B'd config (the remat
+    # optimum moved 8 -> 4 once narrow masks freed HBM); the shipped
+    # launchers use k=8 at reference numerics (PERFORMANCE.md).
     "blp-w5m": (1024, 64, 128, 0, 0),
 }
 
@@ -52,7 +53,7 @@ def bench_family(model: str, *, reps: int = 15) -> dict:
         w5m = model == "blp-w5m"
         cfg = blp.ModelConfig(
             **kw, encoder=bert.BertConfig(compute_dtype=jnp.bfloat16,
-                                          remat=8 if w5m else False,
+                                          remat=4 if w5m else False,
                                           dropout_bits=8 if w5m else 32,
                                           fast_train=w5m))
     elif model == "transductive":
