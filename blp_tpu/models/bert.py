@@ -195,7 +195,11 @@ def _dropout_keep(key: Array, rate: float, nbits: int, shape):
         raise ValueError(f"dropout_bits must be 8, 16 or 32, got {nbits}")
     dtype = jnp.uint8 if nbits == 8 else jnp.uint16
     levels = 1 << nbits
-    t = int(round(rate * levels))
+    # Clamp to levels-1: rate -> 1.0 would round t to `levels`, which (a)
+    # overflows the uint dtype and (b) would make keep_p zero. The clamped
+    # threshold stays within the documented <= 2^-nbits quantization error
+    # (e.g. rate=0.999 at 8 bits drops at 255/256 = 0.9961).
+    t = min(int(round(rate * levels)), levels - 1)
     bits = jax.random.bits(key, shape, dtype)
     return bits >= jnp.asarray(t, dtype), 1.0 - t / levels
 

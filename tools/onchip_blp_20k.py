@@ -58,10 +58,12 @@ cfg = ExperimentConfig(
     eval_every=max(args.epochs // 2, 1), tile=20_480, bf16=True,
     fast_train=args.fast_train, adam_bf16_mu=args.adam_bf16,
     dropout_bits=args.dropout_bits,
-    run_id=args.run_id or ("blp20k-fast" if args.fast_train
-                           else "blp20k-adambf16" if args.adam_bf16
-                           else f"blp20k-drop{args.dropout_bits}"
-                           if args.dropout_bits != 32 else "blp20k"),
+    # run_id concatenates every active knob — combined-flag runs must not
+    # collide with (and auto-resume, via resume="auto") a single-knob run.
+    run_id=args.run_id or "blp20k" + (
+        ("-fast" if args.fast_train else "")
+        + ("-adambf16" if args.adam_bf16 else "")
+        + (f"-drop{args.dropout_bits}" if args.dropout_bits != 32 else "")),
     resume="auto", seed=0)
 t0 = time.time()
 r = link_prediction(cfg)
